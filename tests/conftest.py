@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes so sharded/multi-chip code paths
+(parallel/*) are testable without TPU hardware, mirroring how the same
+shard_map programs run over ICI on a real slice.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import json
+import pathlib
+
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "cases.jsonl"
+
+
+def load_golden(kind=None):
+    records = [json.loads(line) for line in GOLDEN.read_text().splitlines()]
+    if kind is not None:
+        records = [r for r in records if r["kind"] == kind]
+    return records
+
+
+@pytest.fixture(scope="session")
+def golden_pipeline():
+    return load_golden("pipeline")
+
+
+@pytest.fixture(scope="session")
+def golden_subproblem():
+    return load_golden("subproblem")
