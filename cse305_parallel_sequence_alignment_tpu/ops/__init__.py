@@ -1,0 +1,24 @@
+"""Compute kernels: prefix scans, DP fills (row-scan, wavefront, Pallas),
+and traceback."""
+
+from cse305_parallel_sequence_alignment_tpu.ops.prefix import (
+    prefix_max,
+    prefix_sum,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.rowscan import (
+    rowscan_dirs,
+    rowscan_score,
+    rowscan_tables,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.traceback import (
+    traceback_from_dirs,
+)
+
+__all__ = [
+    "prefix_max",
+    "prefix_sum",
+    "rowscan_tables",
+    "rowscan_dirs",
+    "rowscan_score",
+    "traceback_from_dirs",
+]

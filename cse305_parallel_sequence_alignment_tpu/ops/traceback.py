@@ -1,0 +1,90 @@
+"""Traceback from packed direction matrices (host-side, sequential).
+
+The DP fill stays on-device and emits 2-bit-per-table direction codes; the
+inherently sequential walk happens on the host. The walk reproduces the
+reference's traceback exactly (subproblem_alignment.cpp:105-172):
+
+- end-table choice with gap-open refund and T1>=T2>=T3 tie order (B3),
+- stop at the matrix edge and drop the first point (B1),
+- gap points store 0 for the gapped side (B2).
+
+Supports the rectangular layout (row-scan fill: dirs[i, j]) and the skewed
+anti-diagonal layout (wavefront/Pallas fills: dirs[i + j, j]).
+
+A native C++ walker (native/) accelerates batched traceback; this module
+falls back to pure Python/numpy when the shared library is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cse305_parallel_sequence_alignment_tpu.core import (
+    DIR_T1_SHIFT,
+    DIR_T2_SHIFT,
+    DIR_T3_SHIFT,
+    end_table_choice,
+)
+
+_SHIFTS = {1: DIR_T1_SHIFT, 2: DIR_T2_SHIFT, 3: DIR_T3_SHIFT}
+
+
+def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
+                        layout="rect"):
+    """Walk a packed direction matrix back from (m, n).
+
+    Args:
+      dirs: uint8 array; ``rect`` layout (m+1, n+1), ``skew`` layout
+        (m+n+1, n+1) where cell (i, j) lives at [i+j, j].
+      finals: (3,) final-cell (T1, T2, T3) values at (m, n).
+      m, n, h, end_type, id_a, id_b: reference conventions.
+
+    Returns (chain, end_table, score) with the B1-truncated chain.
+    """
+    dirs = np.asarray(dirs)
+    finals = np.asarray(finals, dtype=np.float64)
+    table, score = end_table_choice(
+        float(finals[0]), float(finals[1]), float(finals[2]), end_type, h)
+
+    def cell(i, j):
+        return dirs[i + j, j] if layout == "skew" else dirs[i, j]
+
+    def point(pi, pj, t):
+        if t == 1:
+            return (pi + id_a, pj + id_b, 1)
+        if t == 2:
+            return (0, pj + id_b, 2)
+        return (pi + id_a, 0, 3)
+
+    rev = [point(m, n, table)]
+    i, j, t = m, n, table
+    native = _native_walk(dirs, m, n, t, layout)
+    if native is not None:
+        steps = native
+        for (pt_t, pi, pj) in steps:
+            rev.append(point(pi, pj, pt_t))
+    else:
+        while i > 0 and j > 0:
+            t_next = int((cell(i, j) >> _SHIFTS[t]) & 0x3) + 1
+            if t == 1:
+                pi, pj = i - 1, j - 1
+                i, j = i - 1, j - 1
+            elif t == 2:
+                pi, pj = i, j - 1
+                j = j - 1
+            else:
+                pi, pj = i - 1, j
+                i = i - 1
+            rev.append(point(pi, pj, t_next))
+            t = t_next
+    chain = list(reversed(rev))[1:]  # B1: drop the first point
+    return chain, table, score
+
+
+def _native_walk(dirs, m, n, t, layout):
+    """Use the C++ walker if built; returns list of (t', pi, pj) or None."""
+    try:
+        from cse305_parallel_sequence_alignment_tpu.native import walker
+    except Exception:
+        return None
+    return walker.walk(dirs, m, n, t, layout)
