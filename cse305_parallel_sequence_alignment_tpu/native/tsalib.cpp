@@ -1,0 +1,132 @@
+// Native host runtime for the TPU alignment framework.
+//
+// The device (TPU) does the O(m*n) fill; these routines cover the
+// inherently sequential / IO-bound host side, mirroring the roles the
+// reference implements in C++ (traceback: subproblem_alignment.cpp:105-172;
+// FASTA ingestion: test_functions/pull_data.cpp:18-71) but operating on the
+// packed direction matrices our kernels emit.
+//
+// Exposed with a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+extern "C" {
+
+// Walk a packed direction matrix back from (m, n).
+//
+//   dirs:     base pointer of the uint8 direction array
+//   stride_d: byte stride between rows (rect: row i; skew: diagonal d)
+//   stride_j: byte stride between columns
+//   layout:   0 = rect (cell (i,j) at dirs[i][j]),
+//             1 = skew (cell (i,j) at dirs[i+j][j])
+//   t0:       end table in {1,2,3}
+//
+// Writes the predecessor steps in walk order (end -> start) as parallel
+// arrays out_t / out_pi / out_pj and returns the number of steps.
+// Buffers must hold at least m + n entries.
+//
+// Direction byte: 2 bits per table, value 0/1/2 = predecessor T1/T2/T3,
+// fields at bit 0 (T1), 2 (T2), 4 (T3) — core.py packing.
+int64_t tsa_walk(const uint8_t* dirs, int64_t stride_d, int64_t stride_j,
+                 int64_t m, int64_t n, int t0, int layout,
+                 int32_t* out_t, int64_t* out_pi, int64_t* out_pj) {
+    int64_t i = m, j = n;
+    int t = t0;
+    int64_t k = 0;
+    while (i > 0 && j > 0) {
+        int64_t row = (layout == 1) ? (i + j) : i;
+        uint8_t byte = dirs[row * stride_d + j * stride_j];
+        int shift = (t == 1) ? 0 : (t == 2) ? 2 : 4;
+        int tn = ((byte >> shift) & 0x3) + 1;
+        int64_t pi, pj;
+        if (t == 1) {
+            pi = i - 1; pj = j - 1; i--; j--;
+        } else if (t == 2) {
+            pi = i; pj = j - 1; j--;
+        } else {
+            pi = i - 1; pj = j; i--;
+        }
+        out_t[k] = tn;
+        out_pi[k] = pi;
+        out_pj[k] = pj;
+        k++;
+        t = tn;
+    }
+    return k;
+}
+
+// Render the two aligned text rows directly from a walked chain
+// (the reference's print_seq, main_alignment.cpp:32-55).
+//
+//   a, b:   0-indexed sequences (lengths m, n)
+//   tt/ii/jj: chain arrays in start -> end order (1-indexed points)
+//   len:    chain length
+// Writes len bytes into row_a and row_b.
+void tsa_render(const uint8_t* a, const uint8_t* b,
+                const int32_t* tt, const int64_t* ii, const int64_t* jj,
+                int64_t len, uint8_t* row_a, uint8_t* row_b) {
+    for (int64_t k = 0; k < len; k++) {
+        int t = tt[k];
+        row_a[k] = (t == 1 || t == 3) ? a[ii[k] - 1] : '-';
+        row_b[k] = (t == 1 || t == 2) ? b[jj[k] - 1] : '-';
+    }
+}
+
+// First pass over a FASTA buffer: count records and total sequence bytes.
+// Returns 0 on success.
+int tsa_fasta_scan(const uint8_t* buf, int64_t size,
+                   int64_t* num_records, int64_t* total_seq_bytes) {
+    int64_t nrec = 0, nbytes = 0;
+    int64_t pos = 0;
+    while (pos < size) {
+        int64_t eol = pos;
+        while (eol < size && buf[eol] != '\n') eol++;
+        if (eol > pos) {
+            if (buf[pos] == '>') {
+                nrec++;
+            } else {
+                int64_t len = eol - pos;
+                if (buf[eol - 1] == '\r') len--;
+                nbytes += len;
+            }
+        }
+        pos = eol + 1;
+    }
+    *num_records = nrec;
+    *total_seq_bytes = nbytes;
+    return 0;
+}
+
+// Second pass: concatenate sequence bytes and record per-record offsets.
+// seq_out must hold total_seq_bytes; offsets must hold num_records + 1
+// (offsets[k]..offsets[k+1] is record k); name_spans holds 2 entries per
+// record (byte offset and length of the header line, '>' included).
+int tsa_fasta_parse(const uint8_t* buf, int64_t size,
+                    uint8_t* seq_out, int64_t* offsets,
+                    int64_t* name_spans) {
+    int64_t rec = -1, out = 0, pos = 0;
+    while (pos < size) {
+        int64_t eol = pos;
+        while (eol < size && buf[eol] != '\n') eol++;
+        if (eol > pos) {
+            int64_t len = eol - pos;
+            if (buf[eol - 1] == '\r') len--;
+            if (buf[pos] == '>') {
+                rec++;
+                offsets[rec] = out;
+                name_spans[2 * rec] = pos;
+                name_spans[2 * rec + 1] = len;
+            } else if (rec >= 0) {
+                std::memcpy(seq_out + out, buf + pos, len);
+                out += len;
+            }
+        }
+        pos = eol + 1;
+    }
+    offsets[rec + 1] = out;
+    return 0;
+}
+
+}  // extern "C"

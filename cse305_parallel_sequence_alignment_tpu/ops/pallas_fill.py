@@ -1,0 +1,350 @@
+"""Pallas TPU kernels: batched anti-diagonal Gotoh fill.
+
+Same mathematics as ops/wavefront.py (tested cell-identical), but the whole
+sweep runs inside one Mosaic kernel so the per-diagonal step costs no XLA
+dispatch:
+
+- ``pallas_score_batch``: the entire m+n-step sweep is a ``fori_loop`` whose
+  carry (two previous diagonals of T1/T2/T3 per pair) lives in
+  VMEM/registers. No HBM traffic at all except sequences in, finals out.
+- ``pallas_dirs_batch``: sequential grid over diagonals; packed direction
+  rows stream out through the pipelined output DMA while the DP state
+  ping-pongs between two VMEM scratch slots.
+
+The batch is the sublane axis and the diagonal the lane axis, so each step
+is one fused (block_b, n+1) VPU op-chain — this is how the reference's
+"p threads per row" (subproblem_alignment.cpp:251-327) maps onto 8x128
+vector hardware instead of fork/join.
+
+Scores are float32 (exact for integer-valued scoring; -inf absorbing,
+matching the reference's doubles). Direction layout is "skew-T":
+dirs[d, b, j] holds the packed byte of cell (i=d-j, j) of pair b.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cse305_parallel_sequence_alignment_tpu.core import (
+    DIR_T1_SHIFT,
+    DIR_T2_SHIFT,
+    DIR_T3_SHIFT,
+    NEG_INF,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
+
+DEF_BLOCK_B = 64
+
+
+def _neg(shape):
+    return jnp.full(shape, jnp.float32(NEG_INF))
+
+
+def _first_argmax3(c1, c2, c3):
+    return jnp.where(
+        (c1 >= c2) & (c1 >= c3),
+        jnp.uint8(0),
+        jnp.where(c2 >= c3, jnp.uint8(1), jnp.uint8(2)),
+    )
+
+
+def _shift_right_neg(x):
+    """Lane shift right, filling -inf."""
+    return jnp.concatenate([_neg(x.shape[:-1] + (1,)), x[..., :-1]], axis=-1)
+
+
+def _row0_t2(jj, g, h, start_type):
+    """Closed-form first-row T2 boundary (core.boundary_row0 semantics)."""
+    jf = jj.astype(jnp.float32)
+    if start_type == -2:
+        return -g * jf
+    if start_type in (1, 3):
+        return _neg(jj.shape)
+    return -h - g * jf
+
+
+def _col0_t3(d, g, h, start_type):
+    """Closed-form first-column T3 boundary at row i=d (scalar)."""
+    df = jnp.float32(d)
+    if start_type == -3:
+        return -g * df
+    if start_type in (1, 2):
+        return jnp.float32(NEG_INF)
+    return -h - g * df
+
+
+def _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, start_type,
+               p, q, want_dirs):
+    """One anti-diagonal: p = diag d-1, q = diag d-2 -> diag d (+ dirs)."""
+    p1, p2, p3 = p
+    q1, q2, q3 = q
+    ii = d - jj
+    interior = (jj >= 1) & (ii >= 1) & (ii <= m)
+    on_row0 = ii == 0
+    on_col0 = (jj == 0) & (ii >= 1) & (ii <= m)
+    valid = (ii >= 0) & (ii <= m)
+    neg_inf = jnp.float32(NEG_INF)
+
+    fvec = jnp.where(av == b_ext, jnp.float32(match), jnp.float32(mismatch))
+    s1, s2, s3 = (_shift_right_neg(q1), _shift_right_neg(q2),
+                  _shift_right_neg(q3))
+    t1_int = fvec + jnp.maximum(jnp.maximum(s1, s2), s3)
+
+    l1, l2, l3 = (_shift_right_neg(p1), _shift_right_neg(p2),
+                  _shift_right_neg(p3))
+    c2a, c2b, c2c = l1 - g - h, l2 - g, l3 - g - h
+    t2_int = jnp.maximum(jnp.maximum(c2a, c2b), c2c)
+
+    c3a, c3b, c3c = p1 - g - h, p2 - g - h, p3 - g
+    t3_int = jnp.maximum(jnp.maximum(c3a, c3b), c3c)
+
+    row0_2 = _row0_t2(jj, g, h, start_type)
+    col0_3 = _col0_t3(d, g, h, start_type)
+    t1 = jnp.where(interior, t1_int, neg_inf)
+    t2 = jnp.where(on_row0, row0_2, jnp.where(interior, t2_int, neg_inf))
+    t3 = jnp.where(on_row0, neg_inf, jnp.where(
+        on_col0, col0_3, jnp.where(interior, t3_int, neg_inf)))
+    t2 = jnp.where(valid, t2, neg_inf)
+    t3 = jnp.where(valid, t3, neg_inf)
+
+    if not want_dirs:
+        return (t1, t2, t3), None
+    d1 = _first_argmax3(s1, s2, s3)
+    d2 = _first_argmax3(c2a, c2b, c2c)
+    d3 = _first_argmax3(c3a, c3b, c3c)
+    packed = jnp.where(
+        interior,
+        (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | (d3 << DIR_T3_SHIFT),
+        jnp.uint8(0),
+    )
+    return (t1, t2, t3), packed
+
+
+def _capture(finals, t123, lbmask, dsum_col, d):
+    """Record (T1,T2,T3) at lane len_b when d == len_a+len_b (per pair)."""
+    cap = dsum_col == d  # (Bt, 1)
+    picks = [jnp.max(jnp.where(lbmask, t, jnp.float32(NEG_INF)),
+                     axis=-1, keepdims=True) for t in t123]
+    return tuple(jnp.where(cap, pick, f) for pick, f in zip(picks, finals))
+
+
+def _diag0(jj, start_type):
+    """Initial diagonal d=0: the corner cell at lane 0."""
+    neg = _neg(jj.shape)
+    corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+    corner2 = 0.0 if start_type == -2 else NEG_INF
+    corner3 = 0.0 if start_type == -3 else NEG_INF
+    at0 = jj == 0
+    return (
+        jnp.where(at0, jnp.float32(corner1), neg),
+        jnp.where(at0, jnp.float32(corner2), neg),
+        jnp.where(at0, jnp.float32(corner3), neg),
+    )
+
+
+def _score_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
+                  *, m, n, g, h, match, mismatch, start_type):
+    block_b = bext_ref.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    b_ext = bext_ref[...]
+    lbmask = lbmask_ref[...] != 0
+    dsum_col = dsum_ref[:, 0:1]
+
+    diag0 = _diag0(jj, start_type)
+    finals0 = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
+                       diag0, lbmask, dsum_col, 0)
+    neg_diag = tuple(_neg((block_b, n + 1)) for _ in range(3))
+
+    def body(d, carry):
+        p, q, finals = carry
+        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        t123, _ = _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
+                             start_type, p, q, want_dirs=False)
+        finals = _capture(finals, t123, lbmask, dsum_col, d)
+        return (t123, p, finals)
+
+    _, _, finals = jax.lax.fori_loop(
+        1, m + n + 1, body, (diag0, neg_diag, finals0))
+    out = jnp.concatenate(
+        list(finals) + [_neg((block_b, 125))], axis=-1)
+    out_ref[...] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "g", "h", "match", "mismatch", "start_type",
+                     "block_b", "interpret"))
+def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, g, h, match,
+                  mismatch, start_type, block_b, interpret):
+    B = arev_pad.shape[0]
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _score_kernel, m=m, n=n, g=float(g), h=float(h), match=float(match),
+        mismatch=float(mismatch), start_type=start_type)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        interpret=interpret,
+    )(arev_pad, b_ext, lbmask, dsum)
+
+
+def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
+                 dirs_ref, fin_ref, state, fin_acc,
+                 *, m, n, g, h, match, mismatch, start_type, num_d):
+    block_b = bext_ref.shape[0]
+    d = pl.program_id(1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    b_ext = bext_ref[...]
+    lbmask = lbmask_ref[...] != 0
+    dsum_col = dsum_ref[:, 0:1]
+    slot = jax.lax.rem(d, 2)
+
+    @pl.when(d == 0)
+    def _():
+        t1, t2, t3 = _diag0(jj, start_type)
+        state[0, 0], state[0, 1], state[0, 2] = t1, t2, t3
+        neg = _neg((block_b, n + 1))
+        state[1, 0], state[1, 1], state[1, 2] = neg, neg, neg
+        dirs_ref[0] = jnp.zeros((block_b, n + 1), jnp.uint8)
+        f = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
+                     (t1, t2, t3), lbmask, dsum_col, 0)
+        fin_acc[0], fin_acc[1], fin_acc[2] = f
+
+    @pl.when(d > 0)
+    def _():
+        # p = diag d-1 lives in slot 1-slot; q = diag d-2 in slot (reused
+        # as the destination: ping-pong, no copies).
+        p = (state[1 - slot, 0], state[1 - slot, 1], state[1 - slot, 2])
+        q = (state[slot, 0], state[slot, 1], state[slot, 2])
+        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        t123, packed = _diag_step(d, av, b_ext, jj, m, g, h, match,
+                                  mismatch, start_type, p, q,
+                                  want_dirs=True)
+        state[slot, 0], state[slot, 1], state[slot, 2] = t123
+        dirs_ref[0] = packed
+        f = _capture((fin_acc[0], fin_acc[1], fin_acc[2]), t123, lbmask,
+                     dsum_col, d)
+        fin_acc[0], fin_acc[1], fin_acc[2] = f
+
+    @pl.when(d == num_d - 1)
+    def _():
+        fin_ref[...] = jnp.concatenate(
+            [fin_acc[0], fin_acc[1], fin_acc[2], _neg((block_b, 125))],
+            axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "g", "h", "match", "mismatch", "start_type",
+                     "block_b", "interpret"))
+def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, g, h, match,
+                 mismatch, start_type, block_b, interpret):
+    B = arev_pad.shape[0]
+    num_d = m + n + 1
+    grid = (B // block_b, num_d)
+    kernel = functools.partial(
+        _dirs_kernel, m=m, n=n, g=float(g), h=float(h), match=float(match),
+        mismatch=float(mismatch), start_type=start_type, num_d=num_d)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n + 1), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n + 1), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, n + 1), lambda b, d: (d, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_d, B, n + 1), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, block_b, n + 1), jnp.float32),
+            pltpu.VMEM((3, block_b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(arev_pad, b_ext, lbmask, dsum)
+
+
+def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
+    """Host-side packing: reversed-padded A, extended B, masks, batch pad."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    Bp = -(-B // block_b) * block_b
+
+    arev_pad = np.full((Bp, m + 2 * (n + 1)), PAD_A, np.uint8)
+    arev_pad[:B, n + 1: n + 1 + m] = a_enc[:, ::-1]
+    b_ext = np.full((Bp, n + 1), PAD_B, np.uint8)
+    b_ext[:B, 1:] = b_enc
+    lbmask = np.zeros((Bp, n + 1), np.uint8)
+    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    dsum = np.full((Bp, 128), -1, np.int32)
+    dsum[:B] = (np.asarray(len_a, np.int64)
+                + np.asarray(len_b, np.int64))[:, None].astype(np.int32)
+    return arev_pad, b_ext, lbmask, dsum, B, m, n
+
+
+def _default_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def pallas_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
+                       mismatch=0.0, start_type=-1, block_b=DEF_BLOCK_B,
+                       interpret=None):
+    """Batched score-only fill. Returns (B, 3) final-cell (T1, T2, T3)."""
+    arev_pad, b_ext, lbmask, dsum, B, m, n = _prep_inputs(
+        a_enc, b_enc, len_a, len_b, block_b)
+    out = _pallas_score(
+        arev_pad, b_ext, lbmask, dsum, m=m, n=n, g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    return np.asarray(out)[:B, :3]
+
+
+def pallas_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
+                      mismatch=0.0, start_type=-1, block_b=DEF_BLOCK_B,
+                      interpret=None):
+    """Batched fill emitting skew-T packed directions.
+
+    Returns (finals (B, 3), dirs (m+n+1, B, n+1) uint8); cell (i, j) of
+    pair b is dirs[i+j, b, j]."""
+    arev_pad, b_ext, lbmask, dsum, B, m, n = _prep_inputs(
+        a_enc, b_enc, len_a, len_b, block_b)
+    dirs, fin = _pallas_dirs(
+        arev_pad, b_ext, lbmask, dsum, m=m, n=n, g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

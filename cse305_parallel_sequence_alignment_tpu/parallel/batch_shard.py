@@ -1,0 +1,82 @@
+"""Many-pairs data parallelism over a device mesh (reference P6).
+
+The reference's throughput strategy is a pool of std::threads each running
+a whole alignment (testing.cpp:112-158). TPU-native: the bucketed batch is
+sharded over the ``data`` mesh axis with ``shard_map``; every device runs
+the same diagonal-sweep fill on its shard. There is no cross-device
+communication in this mode — scores come back device-sharded and are
+gathered on host.
+
+Works on any backend: the mapped function is the pure-JAX wavefront step
+(pallas kernels run per-device inside shard_map on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+    _wavefront_single,
+)
+from cse305_parallel_sequence_alignment_tpu.parallel.mesh import (
+    make_data_mesh,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "h", "match", "mismatch", "start_type",
+                     "num_devices"))
+def _sharded_score(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
+                   start_type, num_devices):
+    mesh = make_data_mesh(num_devices)
+    fn = functools.partial(
+        _wavefront_single, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type, want_dirs=False)
+
+    def local(a, b, la, lb):
+        return jax.vmap(fn)(a, b, la, lb)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"))
+    return mapped(a_enc, b_enc, len_a, len_b)
+
+
+@dataclasses.dataclass
+class ShardedBatchAligner(BatchAligner):
+    """BatchAligner whose fill launches are sharded over the data mesh."""
+
+    num_devices: int = 0  # 0 = all
+
+    def __post_init__(self):
+        if self.num_devices <= 0:
+            self.num_devices = jax.device_count()
+
+    def _finals(self, a, b, la, lb):
+        nd = self.num_devices
+        B = a.shape[0]
+        Bp = -(-B // nd) * nd
+        if Bp != B:
+            pad = Bp - B
+            a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+            b = np.concatenate([b, np.repeat(b[-1:], pad, 0)], 0)
+            la = np.concatenate([la, np.repeat(la[-1:], pad, 0)], 0)
+            lb = np.concatenate([lb, np.repeat(lb[-1:], pad, 0)], 0)
+        mesh = make_data_mesh(nd)
+        sharding = NamedSharding(mesh, P("data"))
+        dev = [jax.device_put(jnp.asarray(x), sharding)
+               for x in (a, b, la, lb)]
+        g, h, match, mismatch = self.params.astuple()
+        out = _sharded_score(*dev, g=g, h=h, match=match,
+                             mismatch=mismatch, start_type=self.start_type,
+                             num_devices=nd)
+        return np.asarray(out)[:B]

@@ -1,0 +1,50 @@
+"""Native C++ host runtime vs pure-Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from cse305_parallel_sequence_alignment_tpu.native import walker
+from cse305_parallel_sequence_alignment_tpu.models.gotoh import GotohAligner
+from cse305_parallel_sequence_alignment_tpu.models.oracle import oracle_align
+
+pytestmark = pytest.mark.skipif(
+    not walker.available(), reason="native library not built")
+
+
+def test_native_walk_equals_python():
+    # GotohAligner.align uses the native walker when available; compare
+    # against the oracle's pure-python equality retrace.
+    rng = np.random.default_rng(21)
+    for (m, n) in [(10, 10), (37, 53), (64, 64)]:
+        a = "".join(rng.choice(list("ACGT"), m))
+        b = "".join(rng.choice(list("ACGT"), n))
+        got = GotohAligner().align(a, b)
+        want = oracle_align(a, b)
+        assert got.chain == want.chain
+        assert got.aligned_a == want.aligned_a
+
+
+def test_native_render():
+    chain = [(1, 1, 1), (2, 2, 1), (0, 3, 2), (3, 4, 1), (4, 5, 1)]
+    tt = [t for (_, _, t) in chain]
+    ii = [i for (i, _, _) in chain]
+    jj = [j for (_, j, _) in chain]
+    out = walker.render(
+        np.frombuffer(b"AGGA", np.uint8),
+        np.frombuffer(b"AGTGC", np.uint8), tt, ii, jj)
+    assert out == ("AG-GA", "AGTGC")
+
+
+def test_native_fasta_parse():
+    data = b">seq1 desc\nACGT\nTTAA\n>seq2\nGGGG\n"
+    names, seqs = walker.fasta_parse(data)
+    assert names == [">seq1 desc", ">seq2"]
+    assert seqs == ["ACGTTTAA", "GGGG"]
+
+
+def test_native_fasta_on_reference_data():
+    data = open("/root/reference/gene_sequences_test", "rb").read()
+    names, seqs = walker.fasta_parse(data)
+    assert len(names) == len(seqs) == 20
+    assert len(set(seqs)) == 20  # no duplicates (pull_data.cpp:54-68)
+    assert all(s and set(s) <= set("ACGTN") for s in seqs)

@@ -1,0 +1,63 @@
+"""Pallas kernels vs wavefront/oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cse305_parallel_sequence_alignment_tpu.models.oracle import oracle_align
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+    pallas_dirs_batch,
+    pallas_score_batch,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.traceback import (
+    traceback_from_dirs,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+    PAD_A,
+    PAD_B,
+    wavefront_score_batch,
+)
+
+
+def make_batch(rng, count, bm, bn, min_len=1):
+    a = np.full((count, bm), PAD_A, np.uint8)
+    b = np.full((count, bn), PAD_B, np.uint8)
+    la = np.zeros(count, np.int32)
+    lb = np.zeros(count, np.int32)
+    pairs = []
+    for k in range(count):
+        m = int(rng.integers(min_len, bm + 1))
+        n = int(rng.integers(min_len, bn + 1))
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        pairs.append((s1, s2))
+        la[k], lb[k] = m, n
+        a[k, :m] = np.frombuffer(s1.encode(), np.uint8)
+        b[k, :n] = np.frombuffer(s2.encode(), np.uint8)
+    return a, b, la, lb, pairs
+
+
+@pytest.mark.parametrize("start", [-1, -2, 2])
+def test_pallas_score_matches_wavefront(start):
+    rng = np.random.default_rng(11)
+    a, b, la, lb, _ = make_batch(rng, 10, 14, 18)
+    got = pallas_score_batch(a, b, la, lb, start_type=start, block_b=8,
+                             interpret=True)
+    want = np.asarray(wavefront_score_batch(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+        start_type=start))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_dirs_traceback_matches_oracle():
+    rng = np.random.default_rng(12)
+    a, b, la, lb, pairs = make_batch(rng, 6, 12, 15)
+    finals, dirs = pallas_dirs_batch(a, b, la, lb, block_b=8,
+                                     interpret=True)
+    for k, (s1, s2) in enumerate(pairs):
+        chain, table, score = traceback_from_dirs(
+            dirs[:, k, :], finals[k], int(la[k]), int(lb[k]), h=2.0,
+            end_type=-1, layout="skew")
+        want = oracle_align(s1, s2, parity_swap=False)
+        assert chain == want.chain, (s1, s2)
+        assert score == want.score
