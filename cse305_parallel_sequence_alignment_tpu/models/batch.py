@@ -159,8 +159,13 @@ class BatchAligner:
                 tables[chunk] = tb
         return scores, tables
 
-    def align_batch(self, pairs):
-        """Full alignments (device fill + host traceback) for all pairs."""
+    def align_batch(self, pairs, offsets=None, traceback_mode="parity"):
+        """Full alignments (device fill + host traceback) for all pairs.
+
+        ``offsets``: optional per-pair (id_a, id_b) global coordinate
+        offsets (partitioned segment solves). ``traceback_mode``: see
+        ops/traceback.py ("parity" = reference B1; "full" = emit edge
+        runs, required when stitching segments)."""
         enc_a, enc_b, buckets = self._prep(pairs)
         results: list = [None] * len(pairs)
         for key, idxs in buckets.items():
@@ -169,11 +174,18 @@ class BatchAligner:
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
                 finals, dirs_at = self._dirs(a, b, la, lb)
                 for r, k in enumerate(chunk):
+                    id_a, id_b = offsets[k] if offsets else (0, 0)
                     chain, table, score = traceback_from_dirs(
                         dirs_at(r), finals[r], int(la[r]), int(lb[r]),
-                        self.params.h, self.end_type, layout="skew")
-                    row_a, row_b = format_alignment(
-                        bytes(enc_a[k]), bytes(enc_b[k]), chain)
+                        self.params.h, self.end_type, id_a=id_a, id_b=id_b,
+                        layout="skew", mode=traceback_mode)
+                    if offsets is None:
+                        row_a, row_b = format_alignment(
+                            bytes(enc_a[k]), bytes(enc_b[k]), chain)
+                    else:
+                        # chain is in global coordinates; the caller
+                        # renders the stitched result itself
+                        row_a = row_b = None
                     results[k] = AlignmentResult(
                         score=score, chain=chain, aligned_a=row_a,
                         aligned_b=row_b, end_table=table)

@@ -143,3 +143,20 @@ def rowscan_score(a_enc, b_enc, g=1.0, h=2.0, match=1.0, mismatch=0.0,
         match, mismatch, n, False)
     (t1, t2, t3), _ = jax.lax.scan(step, init, xs)
     return jnp.stack([t1[n], t2[n], t3[n]])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "h", "match", "mismatch", "start_type"))
+def rowscan_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                    start_type=-1):
+    """Full last row (3, n+1) of the fill — the partition layer's capture
+    primitive (fwd/rev row values at a split row). O(n) memory."""
+    m, n = a_enc.shape[0], b_enc.shape[0]
+    init, xs = _init_and_xs(a_enc, b_enc, m, n, g, h, start_type)
+    step = functools.partial(
+        _row_step, b_enc.astype(jnp.uint8), jnp.float32(g), jnp.float32(h),
+        match, mismatch, n, False)
+    if m == 0:
+        return jnp.stack(init)
+    (t1, t2, t3), _ = jax.lax.scan(step, init, xs)
+    return jnp.stack([t1, t2, t3])

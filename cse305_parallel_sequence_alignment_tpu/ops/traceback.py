@@ -30,7 +30,7 @@ _SHIFTS = {1: DIR_T1_SHIFT, 2: DIR_T2_SHIFT, 3: DIR_T3_SHIFT}
 
 
 def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
-                        layout="rect"):
+                        layout="rect", mode="parity"):
     """Walk a packed direction matrix back from (m, n).
 
     Args:
@@ -38,8 +38,15 @@ def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
         (m+n+1, n+1) where cell (i, j) lives at [i+j, j].
       finals: (3,) final-cell (T1, T2, T3) values at (m, n).
       m, n, h, end_type, id_a, id_b: reference conventions.
+      mode: "parity" stops at the matrix edge like the reference (B1 —
+        leading edge-gap columns are silently dropped); "full" continues
+        the forced edge runs to (0, 0) so every alignment column is
+        emitted (required for partitioned stitching, where a segment's
+        path legitimately rides its left/top edge).
 
-    Returns (chain, end_table, score) with the B1-truncated chain.
+    Returns (chain, end_table, score); the first (deepest) point is
+    dropped in both modes (in "full" mode it is exactly the (0,0)
+    sentinel).
     """
     dirs = np.asarray(dirs)
     finals = np.asarray(finals, dtype=np.float64)
@@ -63,6 +70,9 @@ def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
         steps = native
         for (pt_t, pi, pj) in steps:
             rev.append(point(pi, pj, pt_t))
+        if steps:
+            # walk position after the native loop = last raw pred cell
+            i, j = steps[-1][1], steps[-1][2]
     else:
         while i > 0 and j > 0:
             t_next = int((cell(i, j) >> _SHIFTS[t]) & 0x3) + 1
@@ -77,7 +87,18 @@ def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
                 i = i - 1
             rev.append(point(pi, pj, t_next))
             t = t_next
-    chain = list(reversed(rev))[1:]  # B1: drop the first point
+    if mode == "full":
+        # Forced edge runs: along row 0 only T2 (gap in A) is finite,
+        # along column 0 only T3 (gap in B).
+        if i == 0:
+            while j > 0:
+                rev.append(point(0, j - 1, 2))
+                j -= 1
+        else:
+            while i > 0:
+                rev.append(point(i - 1, 0, 3))
+                i -= 1
+    chain = list(reversed(rev))[1:]  # drop the first point (B1 / sentinel)
     return chain, table, score
 
 

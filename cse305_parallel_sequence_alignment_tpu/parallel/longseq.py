@@ -1,0 +1,238 @@
+"""Long-sequence mode: one giant DP matrix sharded across the device mesh.
+
+The reference's answer to quadratic memory is the balanced-partition layer
+(O(m*n/p) per worker); its answer to parallel fill is row-block threads with
+a racy OpenMP pragma (partial.cpp:57-78, dead at HEAD). The TPU-native
+answer is a **column-sharded wavefront pipeline**:
+
+- B's columns are sharded over the ``seq`` mesh axis (device k owns one
+  contiguous block); A is replicated.
+- Rows are processed in chunks of R. Device k works on row-chunk c at
+  pipeline step s = c + k (staircase schedule); between steps each device
+  sends the right-edge (T1,T2,T3) column of its freshly computed rows to
+  its right neighbour with ``lax.ppermute`` — the halo that carries both
+  the intra-row (T2 prefix-max) and diagonal dependencies over ICI.
+- The T2 in-block recurrence uses the same prefix-max linearisation as the
+  reference (P2) with *global* column offsets, so block-local
+  ``associative_scan`` + one scalar carry from the halo reproduce the
+  sequential recurrence exactly.
+
+Score-only (O(n/devices) memory per device); the partition layer turns the
+result into full tracebacks segment by segment. Runs unchanged on a CPU
+host-device mesh (tests) and on a TPU slice over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cse305_parallel_sequence_alignment_tpu.core import NEG_INF, ScoringParams
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
+from cse305_parallel_sequence_alignment_tpu.parallel.mesh import make_seq_mesh
+
+_NEG = jnp.float32(NEG_INF)
+
+
+def _row0_t2_at(j, g, h, start_type):
+    """Global first-row T2 boundary at 1-based column(s) j (j >= 1)."""
+    jf = j.astype(jnp.float32) if hasattr(j, "astype") else jnp.float32(j)
+    if start_type == -2:
+        return -g * jf
+    if start_type in (1, 3):
+        return jnp.full_like(jf, NEG_INF)
+    return -h - g * jf
+
+
+def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
+                   start_type):
+    """Per-device body under shard_map. a_pad: (C*R,) replicated,
+    b_loc: (nc,) this device's column block. Returns (3,) finals
+    (valid on every device via pmax)."""
+    k = jax.lax.axis_index("seq")
+    C = a_pad.shape[0] // R
+    S = C + D - 1
+    gf, hf = jnp.float32(g), jnp.float32(h)
+
+    # global 1-based column indices of the local block
+    j_glob = k * nc + 1 + jnp.arange(nc, dtype=jnp.int32)
+    jg = gf * j_glob.astype(jnp.float32)          # j*g, global offsets
+    # left-ghost global column (j0-1); 0 means matrix column 0
+    j_ghost = k * nc
+    jg_ghost = gf * j_ghost.astype(jnp.float32)
+
+    # row 0 boundary for the local block
+    row0 = (
+        jnp.full((nc,), NEG_INF, jnp.float32),
+        _row0_t2_at(j_glob, gf, hf, start_type),
+        jnp.full((nc,), NEG_INF, jnp.float32),
+    )
+    # row-0 ghost (cell (0, j0-1)): corner for k == 0, row0 else
+    corner = (
+        jnp.float32(0.0 if start_type in (1, -1) else NEG_INF),
+        jnp.float32(0.0 if start_type == -2 else NEG_INF),
+        jnp.float32(0.0 if start_type == -3 else NEG_INF),
+    )
+    ghost0 = tuple(
+        jnp.where(k == 0, corner[t],
+                  jnp.where(jnp.int32(t) == 1,
+                            _row0_t2_at(jnp.float32(j_ghost), gf, hf,
+                                        start_type),
+                            _NEG))
+        for t in range(3))
+
+    # mask for the final cell (global column n) inside this block
+    lb_mask = j_glob == n
+
+    def row_step(carry, xs):
+        """One DP row for the local block."""
+        (p1, p2, p3), (gd1, gd2, gd3), active_row = carry
+        a_i, (gc1, gc2, gc3), i_glob = xs
+        # ghost-extended previous row: [ghost_diag, prev_row]
+        e1 = jnp.concatenate([gd1[None], p1])
+        e2 = jnp.concatenate([gd2[None], p2])
+        e3 = jnp.concatenate([gd3[None], p3])
+        fb = jnp.where(b_loc == a_i, jnp.float32(match),
+                       jnp.float32(mismatch))
+        t1 = fb + jnp.maximum(jnp.maximum(e1[:-1], e2[:-1]), e3[:-1])
+        t3 = jnp.maximum(jnp.maximum(p1 - gf - hf, p2 - gf - hf), p3 - gf)
+        # T2 via the prefix-max linearization with *global* column
+        # offsets (reference P2, subproblem_alignment.cpp:237-249):
+        #   omega_j = j*g + max(T1[i][j-1], T3[i][j-1]) - g - h
+        #   T2[i][j] = prefmax_{k<=j}(omega_k) - j*g
+        # The j-1 values at the block edge come from the halo ghosts, and
+        # the left block's whole prefix state enters through one scalar:
+        #   prefmax_{k<j0}(omega_k) = T2[i][j0-1] + g*(j0-1).
+        m1 = jnp.concatenate([gc1[None], t1[:-1]])
+        m3 = jnp.concatenate([gc3[None], t3[:-1]])
+        omega = jg + jnp.maximum(m1, m3) - gf - hf
+        seed = gc2 + jg_ghost
+        pm = jax.lax.associative_scan(
+            jnp.maximum, jnp.concatenate([seed[None], omega]))
+        t2 = pm[1:] - jg
+        # column-0 ghost (k == 0) is closed-form; others come from halo.
+        new_row = (t1, t2, t3)
+        upd = lambda new, old: jnp.where(active_row & (i_glob <= m),
+                                         new, old)
+        p1n, p2n, p3n = (upd(t1, p1), upd(t2, p2), upd(t3, p3))
+        gd = tuple(upd(gc, gdo) for gc, gdo in
+                   zip((gc1, gc2, gc3), (gd1, gd2, gd3)))
+        edge = tuple(r[-1] for r in (p1n, p2n, p3n))
+        return ((p1n, p2n, p3n), gd, active_row), (edge, new_row)
+
+    def step(carry, s):
+        prev_row, ghost_diag, msg_in, finals = carry
+        c = s - k                      # this device's chunk index
+        active = (c >= 0) & (c < C)
+        c_cl = jnp.clip(c, 0, C - 1)
+        a_rows = jax.lax.dynamic_slice(a_pad, (c_cl * R,), (R,))
+        i_glob = c_cl * R + 1 + jnp.arange(R, dtype=jnp.int32)
+        # ghosts for the R rows: from left halo, or closed-form for k == 0
+        g1 = jnp.where(k == 0, _NEG, msg_in[:, 0])
+        g2 = jnp.where(k == 0, _NEG, msg_in[:, 1])
+        # closed-form column-0 T3 boundary (core.boundary_col0 semantics)
+        if start_type == -3:
+            col0 = -gf * i_glob.astype(jnp.float32)
+        elif start_type in (1, 2):
+            col0 = jnp.full((R,), NEG_INF, jnp.float32)
+        else:
+            col0 = -hf - gf * i_glob.astype(jnp.float32)
+        g3 = jnp.where(k == 0, col0, msg_in[:, 2])
+
+        (prev_row2, ghost_diag2, _), (edges, rows) = jax.lax.scan(
+            row_step, (prev_row, ghost_diag, active),
+            (a_rows, (g1, g2, g3), i_glob))
+
+        # capture finals when this chunk contains global row m
+        t1r, t2r, t3r = rows
+        has_m = active & (c_cl * R + 1 <= m) & (m <= (c_cl + 1) * R)
+        r_idx = jnp.clip(m - 1 - c_cl * R, 0, R - 1)
+        cand = jnp.stack([
+            jnp.max(jnp.where(lb_mask, t1r[r_idx], NEG_INF)),
+            jnp.max(jnp.where(lb_mask, t2r[r_idx], NEG_INF)),
+            jnp.max(jnp.where(lb_mask, t3r[r_idx], NEG_INF))])
+        finals = jnp.where(has_m, cand, finals)
+
+        # send right-edge columns of the processed rows to the right
+        out_msg = jnp.stack(edges, axis=1)  # (R, 3)
+        msg_next = jax.lax.ppermute(
+            out_msg, "seq", [(d, (d + 1) % D) for d in range(D)])
+        return (prev_row2, ghost_diag2, msg_next, finals), None
+
+    msg0 = jnp.zeros((R, 3), jnp.float32)
+    finals0 = jnp.full((3,), NEG_INF, jnp.float32)
+    carry0 = (row0, ghost0, msg0, finals0)
+    (_, _, _, finals), _ = jax.lax.scan(
+        step, carry0, jnp.arange(S, dtype=jnp.int32))
+    # broadcast the owner's finals to every device
+    return jax.lax.pmax(finals, "seq")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nc", "R", "D", "g", "h", "match",
+                     "mismatch", "start_type", "mesh_holder"))
+def _longseq_jit(a_pad, b_shard, m, n, nc, R, D, g, h, match, mismatch,
+                 start_type, mesh_holder):
+    mesh = mesh_holder.mesh
+    body = functools.partial(
+        _longseq_local, m=m, n=n, nc=nc, R=R, D=D, g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type)
+    # check_vma off: the pipeline carry starts replicated (closed-form
+    # boundary rows) and becomes device-varying via b_shard and the
+    # ppermute halo; the static checker cannot express that transition.
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P("seq")), out_specs=P(),
+        check_vma=False)
+    return mapped(a_pad, b_shard)
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can ride through static jit args."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshHolder) and \
+            self.mesh == other.mesh
+
+
+def longseq_score(a, b, params=ScoringParams(), start_type=-1,
+                  mesh=None, row_chunk=64):
+    """Sharded score-only fill of one (possibly huge) pair.
+
+    Returns (3,) final-cell (T1, T2, T3) at (m, n), identical to
+    rowscan_score. Columns are sharded over the ``seq`` axis of ``mesh``
+    (default: all devices)."""
+    from cse305_parallel_sequence_alignment_tpu.core import encode_seq
+    a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else \
+        np.asarray(a, np.uint8)
+    b_enc = encode_seq(b) if isinstance(b, (str, bytes)) else \
+        np.asarray(b, np.uint8)
+    m, n = a_enc.shape[0], b_enc.shape[0]
+    mesh = mesh or make_seq_mesh()
+    D = mesh.devices.size
+    nc = -(-n // D)
+    R = min(row_chunk, max(m, 1))
+    C = -(-m // R)
+
+    a_pad = np.full((C * R,), PAD_A, np.uint8)
+    a_pad[:m] = a_enc
+    b_pad = np.full((nc * D,), PAD_B, np.uint8)
+    b_pad[:n] = b_enc
+
+    a_dev = jax.device_put(jnp.asarray(a_pad), NamedSharding(mesh, P()))
+    b_dev = jax.device_put(jnp.asarray(b_pad), NamedSharding(mesh,
+                                                             P("seq")))
+    g, h, match, mismatch = params.astuple()
+    out = _longseq_jit(a_dev, b_dev, m, n, nc, R, D, g, h, match, mismatch,
+                       start_type, _MeshHolder(mesh))
+    return np.asarray(out)

@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment may pre-import jax (site hooks) with a TPU platform
+# override before this conftest runs; force the CPU backend explicitly so
+# tests never block on remote-device initialization. XLA_FLAGS above is
+# still honored: backends initialize lazily, at first use, not at import.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import json
 import pathlib
 

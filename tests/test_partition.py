@@ -1,0 +1,65 @@
+"""Balanced partition: crossing points, segment solves, exact stitching."""
+
+import numpy as np
+import pytest
+
+from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+from cse305_parallel_sequence_alignment_tpu.models.oracle import oracle_align
+from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+    PartitionedAligner,
+    balanced_partition,
+    score_chain,
+)
+from cse305_parallel_sequence_alignment_tpu.core import encode_seq
+
+
+def rand_pair(rng, m, n):
+    return ("".join(rng.choice(list("ACGT"), m)),
+            "".join(rng.choice(list("ACGT"), n)))
+
+
+def test_partition_points_monotone():
+    rng = np.random.default_rng(31)
+    a, b = rand_pair(rng, 60, 80)
+    pts = balanced_partition(a, b, 4)
+    assert pts[0][:2] == (0, 0)
+    assert pts[-1][:2] == (60, 80)
+    for k in range(len(pts) - 1):
+        assert pts[k][0] <= pts[k + 1][0]
+        assert pts[k][1] <= pts[k + 1][1]
+
+
+@pytest.mark.parametrize("p", [2, 3, 4, 8])
+def test_partitioned_align_optimal(p):
+    """Stitched alignment must reach the true optimal score (validated by
+    independent re-scoring of the emitted chain)."""
+    rng = np.random.default_rng(32)
+    params = ScoringParams()
+    for (m, n) in [(40, 40), (33, 57), (64, 48)]:
+        a, b = rand_pair(rng, m, n)
+        want = oracle_align(a, b, params)
+        aligner = PartitionedAligner(params=params, p=p)
+        got = aligner.align(a, b)
+        # chain must be a valid full-coverage alignment
+        assert got.score == want.score, (a, b, p)
+        a_cons = sum(1 for (_, _, t) in got.chain if t in (1, 3))
+        b_cons = sum(1 for (_, _, t) in got.chain if t in (1, 2))
+        assert (a_cons, b_cons) == (min(m, n), max(m, n))
+
+
+def test_partitioned_align_other_params():
+    rng = np.random.default_rng(33)
+    for (g, h) in [(2, 1), (1, 0), (3, 5)]:
+        params = ScoringParams(g=g, h=h)
+        a, b = rand_pair(rng, 50, 45)
+        want = oracle_align(a, b, params)
+        got = PartitionedAligner(params=params, p=4).align(a, b)
+        assert got.score == want.score, (g, h)
+
+
+def test_score_chain_evaluator():
+    a, b = encode_seq("AGGA"), encode_seq("AGTGC")
+    chain = [(1, 1, 1), (2, 2, 1), (0, 3, 2), (3, 4, 1), (4, 5, 1)]
+    # 3 matches (A,G ... A/G? positions: (1,1) A=A +1, (2,2) G=G +1,
+    # gap open+extend -3, (3,4) G=G +1, (4,5) A vs C mismatch 0 -> 0
+    assert score_chain(a, b, chain) == 0.0
