@@ -4,5 +4,18 @@ from cse305_parallel_sequence_alignment_tpu.models.oracle import (
     oracle_align,
     oracle_tables,
 )
+from cse305_parallel_sequence_alignment_tpu.models.gotoh import GotohAligner
+from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
+from cse305_parallel_sequence_alignment_tpu.models.local import (
+    LocalAlignmentResult,
+    LocalBatchAligner,
+)
 
-__all__ = ["oracle_align", "oracle_tables"]
+__all__ = [
+    "oracle_align",
+    "oracle_tables",
+    "GotohAligner",
+    "BatchAligner",
+    "LocalBatchAligner",
+    "LocalAlignmentResult",
+]

@@ -12,6 +12,16 @@ from cse305_parallel_sequence_alignment_tpu.ops.rowscan import (
 )
 from cse305_parallel_sequence_alignment_tpu.ops.traceback import (
     traceback_from_dirs,
+    traceback_local_from_dirs,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.cigar import (
+    chain_to_cigar,
+    chain_to_cigar_extended,
+    cigar_consumed,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.local import (
+    sw_dirs_batch,
+    sw_score_batch,
 )
 
 __all__ = [
@@ -21,4 +31,10 @@ __all__ = [
     "rowscan_dirs",
     "rowscan_score",
     "traceback_from_dirs",
+    "traceback_local_from_dirs",
+    "chain_to_cigar",
+    "chain_to_cigar_extended",
+    "cigar_consumed",
+    "sw_score_batch",
+    "sw_dirs_batch",
 ]

@@ -102,6 +102,47 @@ def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
     return chain, table, score
 
 
+def traceback_local_from_dirs(dirs, end_i, end_j, layout="skew"):
+    """Local-mode walk: from the best T1 cell back to its local start.
+
+    ``dirs`` comes from ops/local.py (T1 direction code 3 = the clamp won:
+    the alignment starts at this cell). Returns the chain start..end; the
+    end cell is (end_i, end_j, 1) by construction (best is over T1).
+    No reference-parity quirks apply — the reference has no local mode —
+    so the chain covers every aligned column.
+    """
+    dirs = np.asarray(dirs)
+
+    def cell(i, j):
+        return dirs[i + j, j] if layout == "skew" else dirs[i, j]
+
+    rev = []
+    i, j, t = int(end_i), int(end_j), 1
+    while True:
+        rev.append((i, j, t) if t == 1 else
+                   ((0, j, 2) if t == 2 else (i, 0, 3)))
+        code = int((cell(i, j) >> _SHIFTS[t]) & 0x3)
+        if t == 1 and code == 3:
+            # defensive: a clamped (value-0) cell is never aligned; it can
+            # only be reached if the walk started on one
+            rev.pop()
+            break
+        if t == 1:
+            pi, pj, pt = i - 1, j - 1, code + 1
+        elif t == 2:
+            pi, pj, pt = i, j - 1, code + 1
+        else:
+            pi, pj, pt = i - 1, j, code + 1
+        # the predecessor is the empty prefix when it sits on the zero
+        # boundary or is a clamped T1 cell (code 3): stop before it
+        if pi == 0 or pj == 0:
+            break
+        if pt == 1 and int((cell(pi, pj) >> _SHIFTS[1]) & 0x3) == 3:
+            break
+        i, j, t = pi, pj, pt
+    return list(reversed(rev))
+
+
 def _native_walk(dirs, m, n, t, layout):
     """Use the C++ walker if built; returns list of (t', pi, pj) or None."""
     try:
