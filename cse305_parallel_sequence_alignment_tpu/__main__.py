@@ -1,0 +1,214 @@
+"""CLI entry point: ``python -m cse305_parallel_sequence_alignment_tpu``.
+
+TPU-native counterpart of the reference's main.cpp (load FASTA, run the
+experiment harness; main.cpp:6-21) widened into a real command surface:
+
+  align        one global alignment (prints the reference's two-row format)
+  local        one local (SW) alignment with CIGAR
+  batch        score/align many pairs from a FASTA file
+  experiment   the reference harness's three experiments -> CSVs
+  partition    balanced-partition alignment of one pair (p segments)
+  info         backend/devices/version
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from cse305_parallel_sequence_alignment_tpu import __version__
+from cse305_parallel_sequence_alignment_tpu.utils.config import (
+    RunConfig,
+    add_config_args,
+    config_from_args,
+)
+
+
+def _load_data(cfg: RunConfig):
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    return read_and_store_sequences(cfg.data_path)
+
+
+def _resolve_pair(args, cfg):
+    """(a, b) from --a/--b literals or --pair indices into the dataset."""
+    if args.a and args.b:
+        return args.a, args.b
+    names, seqs = _load_data(cfg)
+    i, j = args.pair
+    a, b = seqs[i], seqs[j]
+    if args.truncate:
+        a, b = a[: args.truncate], b[: args.truncate]
+    return a, b
+
+
+def cmd_align(args):
+    cfg = config_from_args(args)
+    a, b = _resolve_pair(args, cfg)
+    from cse305_parallel_sequence_alignment_tpu.models import GotohAligner
+    t0 = time.perf_counter()
+    res = GotohAligner(params=cfg.params).align(a, b)
+    dt = time.perf_counter() - t0
+    print(res.aligned_a)
+    print(res.aligned_b)
+    if args.verbose:
+        print(f"score={res.score} end_table={res.end_table} "
+              f"time={dt:.4f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_local(args):
+    cfg = config_from_args(args)
+    a, b = _resolve_pair(args, cfg)
+    from cse305_parallel_sequence_alignment_tpu.models import (
+        LocalBatchAligner,
+    )
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    params = ScoringParams(g=cfg.g, h=cfg.h, match=args.sw_match,
+                           mismatch=args.sw_mismatch)
+    res = LocalBatchAligner(params=params).align_batch([(a, b)])[0]
+    print(json.dumps({
+        "score": res.score,
+        "cigar": res.cigar,
+        "cigar_extended": res.cigar_extended,
+        "query_span": [res.start_a, res.end_a],
+        "target_span": [res.start_b, res.end_b],
+    }))
+    return 0
+
+
+def cmd_batch(args):
+    cfg = config_from_args(args)
+    names, seqs = _load_data(cfg)
+    rng = np.random.default_rng(cfg.seed)
+    count = args.count
+    idx1 = rng.integers(0, len(seqs) - 1, size=count)
+    idx2 = rng.integers(0, len(seqs) - 1, size=count)
+    pairs = []
+    for k in range(count):
+        s1, s2 = seqs[idx1[k]], seqs[idx2[k]]
+        L = min(cfg.input_size, len(s1), len(s2))
+        pairs.append((s1[:L], s2[:L]))
+    from cse305_parallel_sequence_alignment_tpu.models import BatchAligner
+    aligner = BatchAligner(params=cfg.params,
+                           bucket_quantum=cfg.bucket_quantum,
+                           max_batch=cfg.max_batch)
+    t0 = time.perf_counter()
+    if args.scores_only:
+        scores, tables = aligner.score_batch(pairs)
+        dt = time.perf_counter() - t0
+        for k in range(count):
+            print(f"{idx1[k]},{idx2[k]},{scores[k]:g}")
+    else:
+        results = aligner.align_batch(pairs)
+        dt = time.perf_counter() - t0
+        for res in results:
+            print(res.aligned_a)
+            print(res.aligned_b)
+    cells = sum(len(a) * len(b) for a, b in pairs)
+    print(f"# {count} pairs, {cells} cells, {dt:.3f}s, "
+          f"{cells / dt / 1e9:.3f} GCUPS", file=sys.stderr)
+    return 0
+
+
+def cmd_experiment(args):
+    cfg = config_from_args(args)
+    names, seqs = _load_data(cfg)
+    from cse305_parallel_sequence_alignment_tpu.harness import experiments
+    which = args.which
+    if which in ("input-size", "all"):
+        rows = experiments.test_input_size(names, seqs, cfg)
+        print(f"input_size_testing.csv: {len(rows)} rows")
+    if which in ("n-cores", "all"):
+        rows = experiments.test_n_cores(names, seqs, cfg)
+        print(f"n_cores_testing.csv: {len(rows)} rows")
+    if which in ("similarity", "all"):
+        rows = experiments.test_similarity(names, seqs, cfg)
+        print(f"similarity_testing.csv: {len(rows)} rows")
+    return 0
+
+
+def cmd_partition(args):
+    cfg = config_from_args(args)
+    a, b = _resolve_pair(args, cfg)
+    from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+        PartitionedAligner,
+    )
+    res = PartitionedAligner(params=cfg.params, p=args.p).align(a, b)
+    print(res.aligned_a)
+    print(res.aligned_b)
+    if args.verbose:
+        print(f"score={res.score}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args):
+    import jax
+    print(json.dumps({
+        "version": __version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }, indent=2))
+    return 0
+
+
+def _add_pair_args(p):
+    p.add_argument("--a", help="literal sequence A")
+    p.add_argument("--b", help="literal sequence B")
+    p.add_argument("--pair", type=int, nargs=2, default=[0, 1],
+                   metavar=("I", "J"),
+                   help="dataset indices when --a/--b not given")
+    p.add_argument("--truncate", type=int, default=0,
+                   help="truncate dataset sequences to this length")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="cse305_parallel_sequence_alignment_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("align", help="one global alignment")
+    _add_pair_args(p)
+    add_config_args(p)
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("local", help="one local (SW) alignment with CIGAR")
+    _add_pair_args(p)
+    p.add_argument("--sw-match", type=float, default=2.0)
+    p.add_argument("--sw-mismatch", type=float, default=-1.0)
+    add_config_args(p)
+    p.set_defaults(fn=cmd_local)
+
+    p = sub.add_parser("batch", help="score/align many dataset pairs")
+    p.add_argument("--count", type=int, default=100)
+    p.add_argument("--scores-only", action="store_true")
+    add_config_args(p)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("experiment", help="reference harness experiments")
+    p.add_argument("which", choices=["input-size", "n-cores", "similarity",
+                                     "all"])
+    add_config_args(p)
+    p.set_defaults(fn=cmd_experiment)
+
+    p = sub.add_parser("partition", help="balanced-partition alignment")
+    _add_pair_args(p)
+    p.add_argument("--p", type=int, default=4, help="number of segments")
+    add_config_args(p)
+    p.set_defaults(fn=cmd_partition)
+
+    p = sub.add_parser("info", help="backend and device info")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,6 +7,15 @@ The reference writes three CSVs (test_functions/testing.cpp:105-110,
 
 from __future__ import annotations
 
+import os
+
+
+def _open_out(path):
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    return open(path, "w")
+
 
 def _cpp_double(x) -> str:
     """Format a float the way C++ default ostream does (%.6g semantics)."""
@@ -16,7 +25,7 @@ def _cpp_double(x) -> str:
 def write_input_size_csv(path, rows):
     """rows: iterable of (test_number, input_size, exec_time_seconds).
     Schema: testing.cpp:108-109, 161-163."""
-    with open(path, "w") as f:
+    with _open_out(path) as f:
         f.write("Testing with different input sizes\n")
         f.write("Test number,Input size,Execution time\n")
         for (j, size, t) in rows:
@@ -26,7 +35,7 @@ def write_input_size_csv(path, rows):
 def write_n_cores_csv(path, rows):
     """rows: iterable of (test_number, n_cores, exec_time_seconds).
     Schema: testing.cpp:236-237, 282-284."""
-    with open(path, "w") as f:
+    with _open_out(path) as f:
         f.write("Testing with different number of cores\n")
         f.write("Test number,Number of cores,Execution time\n")
         for (j, cores, t) in rows:
@@ -36,7 +45,7 @@ def write_n_cores_csv(path, rows):
 def write_similarity_csv(path, rows):
     """rows: iterable of (test_number, similarity, exec_time_seconds).
     Schema: testing.cpp:320-321, 364-366."""
-    with open(path, "w") as f:
+    with _open_out(path) as f:
         f.write("Testing with similarity computation\n")
         f.write("Test number,Similarity,Execution time\n")
         for (j, sim, t) in rows:
