@@ -166,10 +166,13 @@ def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
     msg0 = jnp.zeros((R, 3), jnp.float32)
     finals0 = jnp.full((3,), NEG_INF, jnp.float32)
     carry0 = (row0, ghost0, msg0, finals0)
-    (_, _, _, finals), _ = jax.lax.scan(
+    (last_row, _, _, finals), _ = jax.lax.scan(
         step, carry0, jnp.arange(S, dtype=jnp.int32))
-    # broadcast the owner's finals to every device
-    return jax.lax.pmax(finals, "seq")
+    # broadcast the owner's finals to every device; prev_row froze at
+    # global row m (updates are gated on i_glob <= m), so it IS row m —
+    # the partition layer's capture primitive (each device returns its
+    # local column block, reassembled sharded by the caller)
+    return jax.lax.pmax(finals, "seq"), jnp.stack(last_row)
 
 
 @functools.partial(
@@ -186,8 +189,8 @@ def _longseq_jit(a_pad, b_shard, m, n, nc, R, D, g, h, match, mismatch,
     # boundary rows) and becomes device-varying via b_shard and the
     # ppermute halo; the static checker cannot express that transition.
     mapped = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(), P("seq")), out_specs=P(),
-        check_vma=False)
+        body, mesh=mesh, in_specs=(P(), P("seq")),
+        out_specs=(P(), P(None, "seq")), check_vma=False)
     return mapped(a_pad, b_shard)
 
 
@@ -205,19 +208,28 @@ class _MeshHolder:
             self.mesh == other.mesh
 
 
-def longseq_score(a, b, params=ScoringParams(), start_type=-1,
-                  mesh=None, row_chunk=64):
-    """Sharded score-only fill of one (possibly huge) pair.
+def _row0_stack(n, start_type, g, h):
+    from cse305_parallel_sequence_alignment_tpu.core import boundary_row0
+    return np.stack(boundary_row0(n, start_type, g, h))
 
-    Returns (3,) final-cell (T1, T2, T3) at (m, n), identical to
-    rowscan_score. Columns are sharded over the ``seq`` axis of ``mesh``
-    (default: all devices)."""
+
+def _longseq_run(a, b, params, start_type, mesh, row_chunk):
     from cse305_parallel_sequence_alignment_tpu.core import encode_seq
     a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else \
         np.asarray(a, np.uint8)
     b_enc = encode_seq(b) if isinstance(b, (str, bytes)) else \
         np.asarray(b, np.uint8)
     m, n = a_enc.shape[0], b_enc.shape[0]
+    if m == 0:  # degenerate: the fill is just the closed-form first row
+        g, h, _, _ = params.astuple()
+        row0 = _row0_stack(n, start_type, g, h)
+        return row0[:, n], row0[:, 1:], m, n
+    if n == 0:  # degenerate: closed-form first column
+        from cse305_parallel_sequence_alignment_tpu.core import boundary_col0
+        g, h, _, _ = params.astuple()
+        c1, c2, c3 = boundary_col0(m, start_type, g, h)
+        finals = np.array([c1[m - 1], c2[m - 1], c3[m - 1]], np.float32)
+        return finals, np.zeros((3, 0), np.float32), m, n
     mesh = mesh or make_seq_mesh()
     D = mesh.devices.size
     nc = -(-n // D)
@@ -233,6 +245,43 @@ def longseq_score(a, b, params=ScoringParams(), start_type=-1,
     b_dev = jax.device_put(jnp.asarray(b_pad), NamedSharding(mesh,
                                                              P("seq")))
     g, h, match, mismatch = params.astuple()
-    out = _longseq_jit(a_dev, b_dev, m, n, nc, R, D, g, h, match, mismatch,
-                       start_type, _MeshHolder(mesh))
-    return np.asarray(out)
+    finals, lastrow = _longseq_jit(
+        a_dev, b_dev, m, n, nc, R, D, g, h, match, mismatch,
+        start_type, _MeshHolder(mesh))
+    return finals, lastrow, m, n
+
+
+def longseq_score(a, b, params=ScoringParams(), start_type=-1,
+                  mesh=None, row_chunk=64):
+    """Sharded score-only fill of one (possibly huge) pair.
+
+    Returns (3,) final-cell (T1, T2, T3) at (m, n), identical to
+    rowscan_score. Columns are sharded over the ``seq`` axis of ``mesh``
+    (default: all devices)."""
+    finals, _, _, _ = _longseq_run(a, b, params, start_type, mesh,
+                                   row_chunk)
+    return np.asarray(finals)
+
+
+def longseq_lastrow(a, b, params=ScoringParams(), start_type=-1,
+                    mesh=None, row_chunk=64):
+    """Sharded fill returning the full last row: (3, n+1) values of
+    T1/T2/T3 at row m, columns 0..n — identical to rowscan_lastrow's
+    final row but O(n/D) memory per device. This is the partition
+    layer's capture primitive at multi-chip scale (crossing-point search
+    over a 100k x 100k grid, BASELINE config 4)."""
+    from cse305_parallel_sequence_alignment_tpu.core import (
+        boundary_col0,
+        boundary_row0,
+    )
+    g, h, _, _ = params.astuple()
+    finals, lastrow, m, n = _longseq_run(a, b, params, start_type, mesh,
+                                         row_chunk)
+    lastrow = np.asarray(lastrow)[:, :n]  # drop padded columns
+    # column 0 of row m comes from the closed-form boundary
+    if m == 0:
+        r1, r2, r3 = boundary_row0(n, start_type, g, h)
+        return np.stack([r1, r2, r3])
+    c1, c2, c3 = boundary_col0(m, start_type, g, h)
+    col0 = np.array([[c1[m - 1]], [c2[m - 1]], [c3[m - 1]]], np.float32)
+    return np.concatenate([col0, lastrow], axis=1)

@@ -52,18 +52,25 @@ def _mirror_type(t):
     return t
 
 
-def crossing_on_row(a_enc, b_enc, i_mid, params, start_type, end_type):
+def _lastrow_rowscan(a_enc, b_enc, params, start_type):
+    g, h, match, mismatch = params.astuple()
+    return np.asarray(rowscan_lastrow(
+        jnp.asarray(a_enc), jnp.asarray(b_enc), g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type))
+
+
+def crossing_on_row(a_enc, b_enc, i_mid, params, start_type, end_type,
+                    lastrow_fn=_lastrow_rowscan):
     """Best crossing cell (j, t) on row ``i_mid`` of an optimal path.
 
-    Returns (j, t, total_score)."""
-    g, h, match, mismatch = params.astuple()
-    kw = dict(g=g, h=h, match=match, mismatch=mismatch)
-    fwd = np.asarray(rowscan_lastrow(
-        jnp.asarray(a_enc[:i_mid]), jnp.asarray(b_enc),
-        start_type=start_type, **kw))
-    rev = np.asarray(rowscan_lastrow(
-        jnp.asarray(a_enc[i_mid:][::-1]), jnp.asarray(b_enc[::-1]),
-        start_type=_mirror_type(end_type), **kw))
+    ``lastrow_fn(a, b, params, start_type) -> (3, n+1)`` computes the
+    forward/reverse row values — single-device rowscan by default, or the
+    column-sharded pipeline (parallel.longseq.longseq_lastrow) for grids
+    too large for one chip. Returns (j, t, total_score)."""
+    g, h, _, _ = params.astuple()
+    fwd = lastrow_fn(a_enc[:i_mid], b_enc, params, start_type)
+    rev = lastrow_fn(a_enc[i_mid:][::-1], b_enc[::-1], params,
+                     _mirror_type(end_type))
     n = b_enc.shape[0]
     # rev row is indexed by reversed j: TR[i_mid][j] = rev[:, n - j]
     rev_al = rev[:, ::-1]  # now indexed by j
@@ -81,7 +88,7 @@ def crossing_on_row(a_enc, b_enc, i_mid, params, start_type, end_type):
 
 
 def balanced_partition(a, b, p, params=ScoringParams(), start_type=-1,
-                       end_type=-1):
+                       end_type=-1, lastrow_fn=_lastrow_rowscan):
     """p+1 crossing points [(i, j, t)] splitting the DP grid into p
     row-balanced segments; interior points carry positive table types.
 
@@ -116,7 +123,8 @@ def balanced_partition(a, b, p, params=ScoringParams(), start_type=-1,
             points[k_mid] = (i_mid, j_lo, 3)
         else:
             j_rel, t, _ = crossing_on_row(
-                sub_a, sub_b, i_mid - i_lo, params, st, en)
+                sub_a, sub_b, i_mid - i_lo, params, st, en,
+                lastrow_fn=lastrow_fn)
             points[k_mid] = (i_mid, j_lo + j_rel, t)
         rec(k_lo, k_mid)
         rec(k_mid, k_hi)
@@ -141,13 +149,35 @@ class PartitionedAligner:
     parity_swap: bool = True
     bucket_quantum: int = 128
     backend: str = "auto"
+    # crossing-point search fill: "rowscan" (single device), "sharded"
+    # (column-sharded longseq pipeline), or "auto" (sharded once the grid
+    # exceeds sharded_threshold cells)
+    fill_backend: str = "auto"
+    sharded_threshold: int = 64 * 1024 * 1024
+    mesh: object = None
+
+    def _lastrow_fn(self, m, n):
+        use_sharded = self.fill_backend == "sharded" or (
+            self.fill_backend == "auto" and m * n > self.sharded_threshold)
+        if not use_sharded:
+            return _lastrow_rowscan
+        from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
+            longseq_lastrow,
+        )
+
+        def fn(a_enc, b_enc, params, start_type):
+            return longseq_lastrow(a_enc, b_enc, params,
+                                   start_type=start_type, mesh=self.mesh)
+        return fn
 
     def partition(self, a, b):
         a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else a
         b_enc = encode_seq(b) if isinstance(b, (str, bytes)) else b
         if self.parity_swap and len(a_enc) > len(b_enc):
             a_enc, b_enc = b_enc, a_enc
-        return balanced_partition(a_enc, b_enc, self.p, self.params)
+        return balanced_partition(
+            a_enc, b_enc, self.p, self.params,
+            lastrow_fn=self._lastrow_fn(len(a_enc), len(b_enc)))
 
     def align(self, a, b) -> AlignmentResult:
         a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else \
@@ -156,7 +186,9 @@ class PartitionedAligner:
             np.asarray(b, np.uint8)
         if self.parity_swap and a_enc.shape[0] > b_enc.shape[0]:
             a_enc, b_enc = b_enc, a_enc
-        points = balanced_partition(a_enc, b_enc, self.p, self.params)
+        points = balanced_partition(
+            a_enc, b_enc, self.p, self.params,
+            lastrow_fn=self._lastrow_fn(a_enc.shape[0], b_enc.shape[0]))
 
         # Solve all segments as one bucketed batch per (start, end) type.
         segments = []

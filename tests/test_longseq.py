@@ -69,3 +69,36 @@ def test_longseq_fewer_devices():
     got = longseq_score(a, b, ScoringParams(), mesh=mesh, row_chunk=12)
     want = np.asarray(rowscan_score(jnp.asarray(a), jnp.asarray(b)))
     assert np.allclose(got, want)
+
+
+@pytest.mark.parametrize("shape", [(30, 40), (0, 20), (17, 100), (64, 64)])
+def test_longseq_lastrow_matches_rowscan(shape):
+    from cse305_parallel_sequence_alignment_tpu.ops.rowscan import (
+        rowscan_lastrow,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
+        longseq_lastrow,
+    )
+    m, n = shape
+    rng = np.random.default_rng(m + 31 * n)
+    a, b = rand_pair(rng, m, n)
+    got = longseq_lastrow(a, b, ScoringParams(), row_chunk=8)
+    want = np.asarray(rowscan_lastrow(jnp.asarray(a), jnp.asarray(b)))
+    assert got.shape == (3, n + 1)
+    assert np.allclose(got, want)
+
+
+def test_partition_with_sharded_fill():
+    """PartitionedAligner using the column-sharded crossing search must
+    reach the oracle-optimal score (the multi-chip long-pair path)."""
+    from cse305_parallel_sequence_alignment_tpu.models.oracle import (
+        oracle_align,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+        PartitionedAligner,
+    )
+    rng = np.random.default_rng(55)
+    a = "".join(rng.choice(list("ACGT"), 70))
+    b = "".join(rng.choice(list("ACGT"), 90))
+    got = PartitionedAligner(p=4, fill_backend="sharded").align(a, b)
+    assert got.score == oracle_align(a, b).score
