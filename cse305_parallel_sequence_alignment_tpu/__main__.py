@@ -147,6 +147,41 @@ def cmd_partition(args):
     return 0
 
 
+def cmd_stream(args):
+    cfg = config_from_args(args)
+    names, seqs = _load_data(cfg)
+    from cse305_parallel_sequence_alignment_tpu.harness.stream import (
+        StreamRunner,
+    )
+    from cse305_parallel_sequence_alignment_tpu.models import BatchAligner
+    from cse305_parallel_sequence_alignment_tpu.parallel.multihost import (
+        init_distributed,
+        process_info,
+    )
+    init_distributed()
+    pi, pc = process_info()
+    rng = np.random.default_rng(cfg.seed)
+    idx1 = rng.integers(0, len(seqs) - 1, size=args.count)
+    idx2 = rng.integers(0, len(seqs) - 1, size=args.count)
+
+    def pair_iter():
+        for k in range(args.count):
+            s1, s2 = seqs[idx1[k]], seqs[idx2[k]]
+            L = min(cfg.input_size, len(s1), len(s2))
+            yield (f"{idx1[k]}x{idx2[k]}#{k}", s1[:L], s2[:L])
+
+    aligner = BatchAligner(params=cfg.params,
+                           bucket_quantum=cfg.bucket_quantum,
+                           max_batch=cfg.max_batch)
+    runner = StreamRunner(out_dir=args.stream_dir, aligner=aligner,
+                          chunk_size=args.chunk_size,
+                          process_index=pi, process_count=pc)
+    man = runner.run(pair_iter())
+    print(json.dumps({"pairs": man["pairs"], "cells": man["cells"],
+                      "seconds": round(man["seconds"], 3)}))
+    return 0
+
+
 def cmd_info(args):
     import jax
     print(json.dumps({
@@ -202,6 +237,14 @@ def main(argv=None):
     p.add_argument("--p", type=int, default=4, help="number of segments")
     add_config_args(p)
     p.set_defaults(fn=cmd_partition)
+
+    p = sub.add_parser("stream",
+                       help="streamed scoring with checkpoint/resume")
+    p.add_argument("--count", type=int, default=1000)
+    p.add_argument("--chunk-size", type=int, default=256)
+    p.add_argument("--stream-dir", default="stream_out")
+    add_config_args(p)
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("info", help="backend and device info")
     p.set_defaults(fn=cmd_info)
