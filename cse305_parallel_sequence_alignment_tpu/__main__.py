@@ -82,6 +82,25 @@ def cmd_local(args):
     return 0
 
 
+def cmd_semiglobal(args):
+    cfg = config_from_args(args)
+    a, b = _resolve_pair(args, cfg)
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    from cse305_parallel_sequence_alignment_tpu.models import (
+        SemiGlobalBatchAligner,
+    )
+    params = ScoringParams(g=cfg.g, h=cfg.h, match=cfg.match,
+                           mismatch=args.sg_mismatch)
+    res = SemiGlobalBatchAligner(params=params).align_batch([(a, b)])[0]
+    print(json.dumps({
+        "score": res.score,
+        "cigar": res.cigar,
+        "cigar_extended": res.cigar_extended,
+        "target_span": list(res.target_span),
+    }))
+    return 0
+
+
 def cmd_batch(args):
     cfg = config_from_args(args)
     names, seqs = _load_data(cfg)
@@ -219,6 +238,13 @@ def main(argv=None):
     p.add_argument("--sw-mismatch", type=float, default=-1.0)
     add_config_args(p)
     p.set_defaults(fn=cmd_local)
+
+    p = sub.add_parser("semiglobal",
+                       help="fit query into target (free target flanks)")
+    _add_pair_args(p)
+    p.add_argument("--sg-mismatch", type=float, default=-1.0)
+    add_config_args(p)
+    p.set_defaults(fn=cmd_semiglobal)
 
     p = sub.add_parser("batch", help="score/align many dataset pairs")
     p.add_argument("--count", type=int, default=100)

@@ -10,8 +10,14 @@ from cse305_parallel_sequence_alignment_tpu.models.local import (
     LocalAlignmentResult,
     LocalBatchAligner,
 )
+from cse305_parallel_sequence_alignment_tpu.models.semiglobal import (
+    SemiGlobalBatchAligner,
+    SemiGlobalResult,
+)
 
 __all__ = [
+    "SemiGlobalBatchAligner",
+    "SemiGlobalResult",
     "oracle_align",
     "oracle_tables",
     "GotohAligner",

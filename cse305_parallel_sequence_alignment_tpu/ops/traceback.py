@@ -143,6 +143,39 @@ def traceback_local_from_dirs(dirs, end_i, end_j, layout="skew"):
     return list(reversed(rev))
 
 
+def traceback_semiglobal_from_dirs(dirs, end_t, end_i, end_j,
+                                   layout="skew"):
+    """Semi-global walk: from the best last-row cell back to row 0.
+
+    The free B prefix ends the walk at i == 0 (its columns are not
+    emitted); a path that reaches column 0 with i > 0 still owes the
+    forced leading gap-in-B run, which IS emitted (those gaps are paid
+    in this mode). Chain is start..end, every aligned column present.
+    """
+    dirs = np.asarray(dirs)
+
+    def cell(i, j):
+        return dirs[i + j, j] if layout == "skew" else dirs[i, j]
+
+    rev = []
+    i, j, t = int(end_i), int(end_j), int(end_t)
+    while i > 0 and j > 0:
+        rev.append((i, j, t) if t == 1 else
+                   ((0, j, 2) if t == 2 else (i, 0, 3)))
+        code = int((cell(i, j) >> _SHIFTS[t]) & 0x3)
+        if t == 1:
+            i, j = i - 1, j - 1
+        elif t == 2:
+            j = j - 1
+        else:
+            i = i - 1
+        t = code + 1
+    while i > 0:  # forced leading gap-in-B run along column 0
+        rev.append((i, 0, 3))
+        i -= 1
+    return list(reversed(rev))
+
+
 def _native_walk(dirs, m, n, t, layout):
     """Use the C++ walker if built; returns list of (t', pi, pj) or None."""
     try:

