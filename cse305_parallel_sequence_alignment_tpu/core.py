@@ -79,6 +79,76 @@ class AlignmentResult:
     end_table: int | None = None
 
 
+@dataclasses.dataclass(frozen=True)
+class SubstitutionMatrix:
+    """Full KxK substitution scoring over an explicit alphabet.
+
+    Generalizes the reference's match/mismatch ``f()``
+    (subproblem_alignment.h:83-88) to arbitrary per-pair scores (e.g.
+    transition/transversion-aware DNA, IUPAC ambiguity). ``matrix`` is a
+    row-major tuple of K*K floats (hashable, so params stay frozen).
+    Code K (one past the alphabet) is the padding code; ``table()``
+    appends a pad row/column of strongly-negative scores (never read by
+    in-range cells, present so padded lanes stay well-defined).
+    """
+
+    alphabet: str
+    matrix: tuple
+
+    PAD_SCORE = -1e9
+
+    def __post_init__(self):
+        k = len(self.alphabet)
+        if len(self.matrix) != k * k:
+            raise ValueError(
+                f"matrix needs {k * k} entries for alphabet "
+                f"{self.alphabet!r}, got {len(self.matrix)}")
+
+    @classmethod
+    def from_array(cls, alphabet, arr):
+        arr = np.asarray(arr, dtype=np.float32)
+        return cls(alphabet=alphabet,
+                   matrix=tuple(float(x) for x in arr.reshape(-1)))
+
+    @classmethod
+    def dna(cls, match=1.0, mismatch=0.0, alphabet="ACGTN"):
+        k = len(alphabet)
+        arr = np.full((k, k), mismatch, np.float32)
+        np.fill_diagonal(arr, match)
+        return cls.from_array(alphabet, arr)
+
+    @property
+    def k(self):
+        return len(self.alphabet)
+
+    @property
+    def pad_code(self):
+        return self.k
+
+    def encode(self, s):
+        """Sequence -> uint8 codes 0..K-1; unknown characters raise."""
+        if isinstance(s, str):
+            s = s.encode("ascii")
+        lut = np.full(256, 255, np.uint8)
+        for c, ch in enumerate(self.alphabet.encode("ascii")):
+            lut[ch] = c
+        codes = lut[np.frombuffer(bytes(s), np.uint8)]
+        if np.any(codes == 255):
+            bad = bytes(sorted(set(
+                bytes(s)[i] for i in np.nonzero(codes == 255)[0])))
+            raise ValueError(f"characters {bad!r} not in alphabet "
+                             f"{self.alphabet!r}")
+        return codes
+
+    def table(self):
+        """(K+1, K+1) float32 lookup with the pad row/column."""
+        k = self.k
+        t = np.full((k + 1, k + 1), self.PAD_SCORE, np.float32)
+        t[:k, :k] = np.asarray(self.matrix,
+                               np.float32).reshape(k, k)
+        return t
+
+
 def encode_seq(s, dtype=np.uint8):
     """ASCII string/bytes -> uint8 numpy array (0-indexed, no sentinel)."""
     if isinstance(s, str):

@@ -78,8 +78,14 @@ class BatchAligner:
     bucket_quantum: int = 128
     max_batch: int = 512
     backend: str = "auto"
+    # optional core.SubstitutionMatrix: full KxK scoring instead of
+    # match/mismatch; sequences are alphabet-encoded and the fill uses
+    # the matrix-lookup wavefront kernels
+    matrix: object = None
 
     def _use_pallas(self):
+        if self.matrix is not None:
+            return False  # matrix path: wavefront kernels
         if self.backend == "pallas":
             return True
         if self.backend == "wavefront":
@@ -87,8 +93,20 @@ class BatchAligner:
         import jax
         return jax.default_backend() == "tpu"
 
+    def _matrix_kw(self):
+        return dict(g=self.params.g, h=self.params.h,
+                    start_type=self.start_type,
+                    pad_code=self.matrix.pad_code)
+
     def _finals(self, a, b, la, lb):
         """(B, 3) final-cell values for a padded bucket."""
+        if self.matrix is not None:
+            from cse305_parallel_sequence_alignment_tpu.ops.wavefront \
+                import wavefront_score_batch_matrix
+            return np.asarray(wavefront_score_batch_matrix(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+                jnp.asarray(lb), jnp.asarray(self.matrix.table()),
+                **self._matrix_kw()))
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_score_batch
@@ -99,6 +117,15 @@ class BatchAligner:
 
     def _dirs(self, a, b, la, lb):
         """(finals (B,3), per-pair skew dirs accessor)."""
+        if self.matrix is not None:
+            from cse305_parallel_sequence_alignment_tpu.ops.wavefront \
+                import wavefront_dirs_batch_matrix
+            finals, dirs = wavefront_dirs_batch_matrix(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+                jnp.asarray(lb), jnp.asarray(self.matrix.table()),
+                **self._matrix_kw())
+            finals, dirs = np.asarray(finals), np.asarray(dirs)
+            return finals, (lambda r: dirs[r])
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_dirs_batch
@@ -132,15 +159,23 @@ class BatchAligner:
     def _bucket_arrays(self, enc_a, enc_b, idxs, key):
         bm, bn = key
         B = len(idxs)
-        a = np.full((B, bm), PAD_A, np.uint8)
-        b = np.full((B, bn), PAD_B, np.uint8)
+        if self.matrix is None:
+            pa, pb = PAD_A, PAD_B
+        else:  # matrix path: device arrays hold alphabet codes
+            pa = pb = np.uint8(self.matrix.pad_code)
+        a = np.full((B, bm), pa, np.uint8)
+        b = np.full((B, bn), pb, np.uint8)
         la = np.zeros((B,), np.int32)
         lb = np.zeros((B,), np.int32)
         for r, k in enumerate(idxs):
-            la[r] = enc_a[k].shape[0]
-            lb[r] = enc_b[k].shape[0]
-            a[r, : la[r]] = enc_a[k]
-            b[r, : lb[r]] = enc_b[k]
+            ra, rb = enc_a[k], enc_b[k]
+            if self.matrix is not None:
+                ra = self.matrix.encode(bytes(ra))
+                rb = self.matrix.encode(bytes(rb))
+            la[r] = ra.shape[0]
+            lb[r] = rb.shape[0]
+            a[r, : la[r]] = ra
+            b[r, : lb[r]] = rb
         return a, b, la, lb
 
     def score_batch(self, pairs):

@@ -34,16 +34,22 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 )
 
 
-def oracle_tables(a, b, params=ScoringParams(), start_type=-1):
+def oracle_tables(a, b, params=ScoringParams(), start_type=-1,
+                  matrix=None):
     """Full (m+1, n+1) float32 T1/T2/T3 tables, serial fill.
 
     Matches reference ``non_parallel_tables``
     (subproblem_alignment.cpp:357-399) and the parallel fill it validates.
+    ``matrix`` (core.SubstitutionMatrix) replaces the match/mismatch rule
+    with a full per-pair lookup.
     """
     a = encode_seq(a) if isinstance(a, (str, bytes)) else np.asarray(a)
     b = encode_seq(b) if isinstance(b, (str, bytes)) else np.asarray(b)
     m, n = len(a), len(b)
     g, h, match, mismatch = params.astuple()
+    if matrix is not None:
+        tbl = matrix.table()
+        ca, cb = matrix.encode(bytes(a)), matrix.encode(bytes(b))
 
     T1 = np.full((m + 1, n + 1), NEG_INF, np.float32)
     T2 = np.full((m + 1, n + 1), NEG_INF, np.float32)
@@ -55,7 +61,10 @@ def oracle_tables(a, b, params=ScoringParams(), start_type=-1):
 
     for i in range(1, m + 1):
         for j in range(1, n + 1):
-            f = match if a[i - 1] == b[j - 1] else mismatch
+            if matrix is not None:
+                f = float(tbl[ca[i - 1], cb[j - 1]])
+            else:
+                f = match if a[i - 1] == b[j - 1] else mismatch
             T1[i, j] = f + max(T1[i - 1, j - 1], T2[i - 1, j - 1],
                                T3[i - 1, j - 1])
             T3[i, j] = max(T1[i - 1, j] - g - h, T2[i - 1, j] - g - h,

@@ -54,11 +54,15 @@ def _shift_right(x, fill=NEG_INF):
 
 
 def _wavefront_single(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
-                      start_type, want_dirs):
+                      start_type, want_dirs, submat=None, pad_a=PAD_A,
+                      pad_b=PAD_B):
     """One pair, scan over anti-diagonals. a_enc: (m,), b_enc: (n,) uint8.
 
     len_a/len_b select where the final cell is captured, so ragged pairs
-    can share one padded bucket shape.
+    can share one padded bucket shape. With ``submat`` (a traced
+    (K+1, K+1) lookup, core.SubstitutionMatrix.table()), sequences are
+    alphabet codes with pad code K and f(a, b) = submat[a, b]; otherwise
+    raw bytes with the static match/mismatch rule.
     """
     m, n = a_enc.shape[0], b_enc.shape[0]
     neg_inf = jnp.float32(NEG_INF)
@@ -70,9 +74,12 @@ def _wavefront_single(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
     # slice per diagonal instead of a gather.
     arev = a_enc[::-1]
     arev_pad = jnp.concatenate([
-        jnp.full((n + 1,), PAD_A, jnp.uint8), arev,
-        jnp.full((n + 1,), PAD_A, jnp.uint8)])
-    b_ext = jnp.concatenate([jnp.full((1,), PAD_B, jnp.uint8), b_enc])
+        jnp.full((n + 1,), pad_a, jnp.uint8), arev,
+        jnp.full((n + 1,), pad_a, jnp.uint8)])
+    b_ext = jnp.concatenate([jnp.full((1,), pad_b, jnp.uint8), b_enc])
+    if submat is not None:
+        submat_flat = submat.reshape(-1)
+        k1 = submat.shape[0]
 
     # Static boundary tables.
     r1, r2, r3 = boundary_row0(n, start_type, g_py, h_py)
@@ -99,8 +106,12 @@ def _wavefront_single(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
         valid = (ii >= 0) & (ii <= m)
 
         av = jax.lax.dynamic_slice(arev_pad, (m - d + n + 1,), (n + 1,))
-        fvec = jnp.where(av == b_ext,
-                         jnp.float32(match), jnp.float32(mismatch))
+        if submat is None:
+            fvec = jnp.where(av == b_ext,
+                             jnp.float32(match), jnp.float32(mismatch))
+        else:
+            fvec = submat_flat[av.astype(jnp.int32) * k1
+                               + b_ext.astype(jnp.int32)]
 
         s1, s2, s3 = (_shift_right(q1), _shift_right(q2), _shift_right(q3))
         t1_int = fvec + jnp.maximum(jnp.maximum(s1, s2), s3)
@@ -178,3 +189,39 @@ def wavefront_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
         _wavefront_single, g=g, h=h, match=match, mismatch=mismatch,
         start_type=start_type, want_dirs=True)
     return jax.vmap(fn)(a_enc, b_enc, len_a, len_b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "h", "start_type", "pad_code"))
+def wavefront_score_batch_matrix(a_codes, b_codes, len_a, len_b, submat,
+                                 g=1.0, h=2.0, start_type=-1,
+                                 pad_code=255):
+    """Batched score-only fill under a substitution matrix.
+
+    ``a_codes``/``b_codes``: (B, m)/(B, n) uint8 alphabet codes padded
+    with ``pad_code``; ``submat``: (K+1, K+1) float32 lookup
+    (core.SubstitutionMatrix.table()). Returns (B, 3)."""
+    fn = functools.partial(
+        _wavefront_single, g=g, h=h, match=0.0, mismatch=0.0,
+        start_type=start_type, want_dirs=False,
+        pad_a=np.uint8(pad_code), pad_b=np.uint8(pad_code))
+    return jax.vmap(
+        lambda a, b, la, lb, sm: fn(a, b, la, lb, submat=sm),
+        in_axes=(0, 0, 0, 0, None))(
+        a_codes, b_codes, len_a, len_b, submat)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "h", "start_type", "pad_code"))
+def wavefront_dirs_batch_matrix(a_codes, b_codes, len_a, len_b, submat,
+                                g=1.0, h=2.0, start_type=-1,
+                                pad_code=255):
+    """Batched substitution-matrix fill emitting skewed packed dirs."""
+    fn = functools.partial(
+        _wavefront_single, g=g, h=h, match=0.0, mismatch=0.0,
+        start_type=start_type, want_dirs=True,
+        pad_a=np.uint8(pad_code), pad_b=np.uint8(pad_code))
+    return jax.vmap(
+        lambda a, b, la, lb, sm: fn(a, b, la, lb, submat=sm),
+        in_axes=(0, 0, 0, 0, None))(
+        a_codes, b_codes, len_a, len_b, submat)

@@ -1,0 +1,130 @@
+"""Substitution-matrix scoring: kernels + BatchAligner vs the oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cse305_parallel_sequence_alignment_tpu.core import (
+    ScoringParams,
+    SubstitutionMatrix,
+    end_table_choice,
+)
+from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
+from cse305_parallel_sequence_alignment_tpu.models.oracle import (
+    oracle_tables,
+    oracle_traceback,
+)
+
+# transition (A<->G, C<->T) scored milder than transversion
+TRANSITION = SubstitutionMatrix.from_array(
+    "ACGT",
+    np.array([
+        [2, -2, -1, -2],
+        [-2, 2, -2, -1],
+        [-1, -2, 2, -2],
+        [-2, -1, -2, 2],
+    ], np.float32))
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def test_matrix_type_checks():
+    with pytest.raises(ValueError):
+        SubstitutionMatrix("ACGT", (1.0, 2.0))
+    with pytest.raises(ValueError):
+        TRANSITION.encode("ACGU")
+    t = TRANSITION.table()
+    assert t.shape == (5, 5)
+    assert t[0, 2] == -1 and t[4, 4] == SubstitutionMatrix.PAD_SCORE
+
+
+def test_matrix_equivalent_to_match_mismatch():
+    """A diagonal matrix must reproduce the match/mismatch engine."""
+    rng = np.random.default_rng(71)
+    mat = SubstitutionMatrix.dna(match=1.0, mismatch=0.0, alphabet="ACGT")
+    pairs = [(rand_seq(rng, 20), rand_seq(rng, 30)) for _ in range(4)]
+    plain = BatchAligner()
+    withm = BatchAligner(matrix=mat)
+    s1, _ = plain.score_batch(pairs)
+    s2, _ = withm.score_batch(pairs)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_matrix_scores_vs_oracle():
+    rng = np.random.default_rng(72)
+    params = ScoringParams(g=1.0, h=2.0)
+    aligner = BatchAligner(params=params, matrix=TRANSITION,
+                           parity_swap=False)
+    pairs = [(rand_seq(rng, m), rand_seq(rng, n))
+             for (m, n) in [(15, 25), (30, 30), (8, 40)]]
+    scores, tables = aligner.score_batch(pairs)
+    for k, (a, b) in enumerate(pairs):
+        T1, T2, T3 = oracle_tables(a, b, params, matrix=TRANSITION)
+        t, s = end_table_choice(T1[-1, -1], T2[-1, -1], T3[-1, -1],
+                                -1, params.h)
+        assert scores[k] == s, (k, scores[k], s)
+        assert tables[k] == t
+
+
+def test_matrix_align_vs_oracle_chain():
+    rng = np.random.default_rng(73)
+    params = ScoringParams(g=1.0, h=2.0)
+    aligner = BatchAligner(params=params, matrix=TRANSITION,
+                           parity_swap=False)
+    pairs = [(rand_seq(rng, 18), rand_seq(rng, 22)) for _ in range(3)]
+    results = aligner.align_batch(pairs)
+    for (a, b), res in zip(pairs, results):
+        T1, T2, T3 = oracle_tables(a, b, params, matrix=TRANSITION)
+        # oracle retrace needs the same f(); use a matrix-aware closure
+        chain, table, score = _oracle_chain(a, b, T1, T2, T3, params)
+        assert res.score == score
+        assert res.chain == chain, (a, b)
+
+
+def _oracle_chain(a, b, T1, T2, T3, params):
+    """Matrix-aware value retrace (mirrors oracle_traceback with f from
+    the matrix)."""
+    tbl = TRANSITION.table()
+    ca, cb = TRANSITION.encode(a), TRANSITION.encode(b)
+    g, h = params.g, params.h
+    m, n = len(a), len(b)
+    table, score = end_table_choice(
+        float(T1[m, n]), float(T2[m, n]), float(T3[m, n]), -1, h)
+    end_pt = (m, n, 1) if table == 1 else \
+        ((0, n, 2) if table == 2 else (m, 0, 3))
+    rev = [end_pt]
+    i, j, t = m, n, table
+    while i > 0 and j > 0:
+        if t == 1:
+            f = float(tbl[ca[i - 1], cb[j - 1]])
+            v = T1[i, j]
+            if v == f + T1[i - 1, j - 1]:
+                pt, tn = (i - 1, j - 1, 1), 1
+            elif v == f + T2[i - 1, j - 1]:
+                pt, tn = (0, j - 1, 2), 2
+            else:
+                pt, tn = (i - 1, 0, 3), 3
+            i, j = i - 1, j - 1
+        elif t == 2:
+            v = T2[i, j]
+            if v == -g - h + T1[i, j - 1]:
+                pt, tn = (i, j - 1, 1), 1
+            elif v == -g + T2[i, j - 1]:
+                pt, tn = (0, j - 1, 2), 2
+            else:
+                pt, tn = (i, 0, 3), 3
+            j = j - 1
+        else:
+            v = T3[i, j]
+            if v == -g - h + T1[i - 1, j]:
+                pt, tn = (i - 1, j, 1), 1
+            elif v == -g - h + T2[i - 1, j]:
+                pt, tn = (0, j, 2), 2
+            else:
+                pt, tn = (i - 1, 0, 3), 3
+            i = i - 1
+        rev.append(pt)
+        t = tn
+    return list(reversed(rev))[1:], table, score
