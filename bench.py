@@ -8,21 +8,34 @@ single-core cell-update rate (BASELINE.md: 2000x2000, p=1). The benchmark
 fills batches of 2 kb x 2 kb pairs (BASELINE.json config 3 shape) with the
 device-native batched wavefront kernel (Pallas on TPU) and reports
 aggregate cell updates/sec.
+
+The measurement runs in a child process under a watchdog: if device
+initialization wedges (e.g. an unreachable TPU pool), the parent still
+emits a well-formed JSON line with value 0 instead of hanging the driver.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 BASELINE_GCUPS = 0.0115
+WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "1500"))
 
 
 def _bench(batch=256, m=2048, n=2048, iters=3):
+    import numpy as np
     import jax
+
+    # honor an explicit CPU request even when a site hook pre-set the
+    # platform (mirrors tests/conftest.py); the default TPU env is
+    # untouched
+    envp = os.environ.get("JAX_PLATFORMS", "")
+    if envp == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from cse305_parallel_sequence_alignment_tpu.models.batch import (
         BatchAligner,
@@ -36,7 +49,7 @@ def _bench(batch=256, m=2048, n=2048, iters=3):
 
     aligner = BatchAligner()
     # warmup (compile)
-    aligner._finals(a[:batch], b[:batch], la, lb)
+    aligner._finals(a, b, la, lb)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = aligner._finals(a, b, la, lb)
@@ -46,16 +59,36 @@ def _bench(batch=256, m=2048, n=2048, iters=3):
     return cells / dt / 1e9, jax.default_backend()
 
 
+def child(batch):
+    gcups, backend = _bench(batch=batch)
+    print(json.dumps({"gcups": gcups, "backend": backend}))
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    gcups, backend = _bench(batch=batch)
-    print(json.dumps({
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(batch),
+             "--child"],
+            capture_output=True, timeout=WATCHDOG_S, check=True)
+        rec = json.loads(out.stdout.decode().strip().splitlines()[-1])
+        gcups, backend = rec["gcups"], rec["backend"]
+        err = None
+    except Exception as e:  # timeout / crash: emit a valid zero record
+        gcups, backend, err = 0.0, "unavailable", type(e).__name__
+    line = {
         "metric": f"batched 2kb-pair Gotoh fill, 1 chip ({backend})",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 1),
-    }))
+    }
+    if err:
+        line["error"] = err
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child(int(sys.argv[1]))
+    else:
+        main()
