@@ -48,11 +48,13 @@ def _row0_t2_at(j, g, h, start_type):
     return -h - g * jf
 
 
-def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
-                   start_type):
+def _longseq_local(a_pad, b_loc, len_a, len_b, *, m, n, nc, R, D, g, h,
+                   match, mismatch, start_type):
     """Per-device body under shard_map. a_pad: (C*R,) replicated,
-    b_loc: (nc,) this device's column block. Returns (3,) finals
-    (valid on every device via pmax)."""
+    b_loc: (nc,) this device's column block; len_a/len_b: traced true
+    lengths (m, n are the padded static shape — under vmap this makes
+    ragged batches shareable). Returns ((3,) finals via pmax, (3, nc)
+    local block of row len_a)."""
     k = jax.lax.axis_index("seq")
     C = a_pad.shape[0] // R
     S = C + D - 1
@@ -85,8 +87,8 @@ def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
                             _NEG))
         for t in range(3))
 
-    # mask for the final cell (global column n) inside this block
-    lb_mask = j_glob == n
+    # mask for the final cell (global column len_b) inside this block
+    lb_mask = j_glob == len_b
 
     def row_step(carry, xs):
         """One DP row for the local block."""
@@ -116,7 +118,7 @@ def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
         t2 = pm[1:] - jg
         # column-0 ghost (k == 0) is closed-form; others come from halo.
         new_row = (t1, t2, t3)
-        upd = lambda new, old: jnp.where(active_row & (i_glob <= m),
+        upd = lambda new, old: jnp.where(active_row & (i_glob <= len_a),
                                          new, old)
         p1n, p2n, p3n = (upd(t1, p1), upd(t2, p2), upd(t3, p3))
         gd = tuple(upd(gc, gdo) for gc, gdo in
@@ -147,10 +149,11 @@ def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
             row_step, (prev_row, ghost_diag, active),
             (a_rows, (g1, g2, g3), i_glob))
 
-        # capture finals when this chunk contains global row m
+        # capture finals when this chunk contains global row len_a
         t1r, t2r, t3r = rows
-        has_m = active & (c_cl * R + 1 <= m) & (m <= (c_cl + 1) * R)
-        r_idx = jnp.clip(m - 1 - c_cl * R, 0, R - 1)
+        has_m = active & (c_cl * R + 1 <= len_a) & \
+            (len_a <= (c_cl + 1) * R)
+        r_idx = jnp.clip(len_a - 1 - c_cl * R, 0, R - 1)
         cand = jnp.stack([
             jnp.max(jnp.where(lb_mask, t1r[r_idx], NEG_INF)),
             jnp.max(jnp.where(lb_mask, t2r[r_idx], NEG_INF)),
@@ -179,8 +182,8 @@ def _longseq_local(a_pad, b_loc, *, m, n, nc, R, D, g, h, match, mismatch,
     jax.jit,
     static_argnames=("m", "n", "nc", "R", "D", "g", "h", "match",
                      "mismatch", "start_type", "mesh_holder"))
-def _longseq_jit(a_pad, b_shard, m, n, nc, R, D, g, h, match, mismatch,
-                 start_type, mesh_holder):
+def _longseq_jit(a_pad, b_shard, len_a, len_b, m, n, nc, R, D, g, h,
+                 match, mismatch, start_type, mesh_holder):
     mesh = mesh_holder.mesh
     body = functools.partial(
         _longseq_local, m=m, n=n, nc=nc, R=R, D=D, g=g, h=h, match=match,
@@ -189,9 +192,29 @@ def _longseq_jit(a_pad, b_shard, m, n, nc, R, D, g, h, match, mismatch,
     # boundary rows) and becomes device-varying via b_shard and the
     # ppermute halo; the static checker cannot express that transition.
     mapped = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(), P("seq")),
+        body, mesh=mesh, in_specs=(P(), P("seq"), P(), P()),
         out_specs=(P(), P(None, "seq")), check_vma=False)
-    return mapped(a_pad, b_shard)
+    return mapped(a_pad, b_shard, len_a, len_b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nc", "R", "D", "g", "h", "match",
+                     "mismatch", "start_type", "mesh_holder"))
+def _longseq_batch_jit(a_pad, b_shard, len_a, len_b, m, n, nc, R, D, g, h,
+                       match, mismatch, start_type, mesh_holder):
+    """Batched 2D-mesh variant: pairs sharded over ``data``, each pair's
+    columns over ``seq``. a_pad: (B, C*R); b_shard: (B, nc*D)."""
+    mesh = mesh_holder.mesh
+    body = functools.partial(
+        _longseq_local, m=m, n=n, nc=nc, R=R, D=D, g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type)
+    vbody = jax.vmap(body)
+    mapped = jax.shard_map(
+        vbody, mesh=mesh,
+        in_specs=(P("data"), P("data", "seq"), P("data"), P("data")),
+        out_specs=(P("data"), P("data", None, "seq")), check_vma=False)
+    return mapped(a_pad, b_shard, len_a, len_b)
 
 
 class _MeshHolder:
@@ -246,8 +269,8 @@ def _longseq_run(a, b, params, start_type, mesh, row_chunk):
                                                              P("seq")))
     g, h, match, mismatch = params.astuple()
     finals, lastrow = _longseq_jit(
-        a_dev, b_dev, m, n, nc, R, D, g, h, match, mismatch,
-        start_type, _MeshHolder(mesh))
+        a_dev, b_dev, jnp.int32(m), jnp.int32(n), m, n, nc, R, D, g, h,
+        match, mismatch, start_type, _MeshHolder(mesh))
     return finals, lastrow, m, n
 
 
@@ -260,6 +283,59 @@ def longseq_score(a, b, params=ScoringParams(), start_type=-1,
     (default: all devices)."""
     finals, _, _, _ = _longseq_run(a, b, params, start_type, mesh,
                                    row_chunk)
+    return np.asarray(finals)
+
+
+def longseq_score_batch(pairs, params=ScoringParams(), start_type=-1,
+                        mesh=None, row_chunk=64):
+    """Batched column-sharded fill over a 2D (data, seq) mesh: many long
+    pairs at once, each pair's DP grid sharded across the ``seq`` axis
+    while the batch spreads across ``data``. Pairs are padded to the max
+    length in the call; per-pair true lengths drive the final-cell
+    capture. Returns (B, 3) finals.
+    """
+    from cse305_parallel_sequence_alignment_tpu.core import encode_seq
+    from cse305_parallel_sequence_alignment_tpu.parallel.mesh import (
+        make_2d_mesh,
+    )
+    enc_a = [encode_seq(a) if isinstance(a, (str, bytes))
+             else np.asarray(a, np.uint8) for a, _ in pairs]
+    enc_b = [encode_seq(b) if isinstance(b, (str, bytes))
+             else np.asarray(b, np.uint8) for _, b in pairs]
+    B = len(pairs)
+    m = max(x.shape[0] for x in enc_a)
+    n = max(x.shape[0] for x in enc_b)
+    mesh = mesh or make_2d_mesh(seq=max(
+        1, jax.device_count() // max(1, B)))
+    Dd = mesh.shape["data"]
+    D = mesh.shape["seq"]
+    if B % Dd:
+        raise ValueError(f"batch {B} must divide data axis {Dd}")
+    nc = -(-n // D)
+    R = min(row_chunk, max(m, 1))
+    C = -(-m // R)
+
+    a_pad = np.full((B, C * R), PAD_A, np.uint8)
+    b_pad = np.full((B, nc * D), PAD_B, np.uint8)
+    la = np.zeros((B,), np.int32)
+    lb = np.zeros((B,), np.int32)
+    for k in range(B):
+        la[k], lb[k] = enc_a[k].shape[0], enc_b[k].shape[0]
+        a_pad[k, : la[k]] = enc_a[k]
+        b_pad[k, : lb[k]] = enc_b[k]
+
+    a_dev = jax.device_put(jnp.asarray(a_pad),
+                           NamedSharding(mesh, P("data")))
+    b_dev = jax.device_put(jnp.asarray(b_pad),
+                           NamedSharding(mesh, P("data", "seq")))
+    la_dev = jax.device_put(jnp.asarray(la), NamedSharding(mesh,
+                                                           P("data")))
+    lb_dev = jax.device_put(jnp.asarray(lb), NamedSharding(mesh,
+                                                           P("data")))
+    g, h, match, mismatch = params.astuple()
+    finals, _ = _longseq_batch_jit(
+        a_dev, b_dev, la_dev, lb_dev, m, n, nc, R, D, g, h, match,
+        mismatch, start_type, _MeshHolder(mesh))
     return np.asarray(finals)
 
 

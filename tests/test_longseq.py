@@ -88,6 +88,28 @@ def test_longseq_lastrow_matches_rowscan(shape):
     assert np.allclose(got, want)
 
 
+def test_longseq_batch_2d_mesh():
+    """Batched ragged pairs over a (data=2, seq=4) mesh, per-pair exact."""
+    from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
+        longseq_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.mesh import (
+        make_2d_mesh,
+    )
+    rng = np.random.default_rng(66)
+    mesh = make_2d_mesh(data=2, seq=4)
+    pairs = []
+    for _ in range(6):
+        m, n = int(rng.integers(15, 60)), int(rng.integers(15, 80))
+        pairs.append((rng.integers(65, 69, size=(m,)).astype(np.uint8),
+                      rng.integers(65, 69, size=(n,)).astype(np.uint8)))
+    got = longseq_score_batch(pairs, ScoringParams(), mesh=mesh,
+                              row_chunk=8)
+    for k, (a, b) in enumerate(pairs):
+        want = np.asarray(rowscan_score(jnp.asarray(a), jnp.asarray(b)))
+        assert np.allclose(got[k], want), k
+
+
 def test_partition_with_sharded_fill():
     """PartitionedAligner using the column-sharded crossing search must
     reach the oracle-optimal score (the multi-chip long-pair path)."""
