@@ -116,7 +116,9 @@ class BatchAligner:
             jnp.asarray(lb), **self._kw()))
 
     def _dirs(self, a, b, la, lb):
-        """(finals (B,3), per-pair skew dirs accessor)."""
+        """(finals (B,3), dirs array, pair_axis) for a padded bucket;
+        pair_axis 0 = (B, m+n+1, n+1) wavefront layout, 1 = (m+n+1, B,
+        n+1) Pallas layout. Both are the 'skew' per-pair layout."""
         if self.matrix is not None:
             from cse305_parallel_sequence_alignment_tpu.ops.wavefront \
                 import wavefront_dirs_batch_matrix
@@ -124,18 +126,16 @@ class BatchAligner:
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
                 jnp.asarray(lb), jnp.asarray(self.matrix.table()),
                 **self._matrix_kw())
-            finals, dirs = np.asarray(finals), np.asarray(dirs)
-            return finals, (lambda r: dirs[r])
+            return np.asarray(finals), np.asarray(dirs), 0
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_dirs_batch
             finals, dirs = pallas_dirs_batch(a, b, la, lb, **self._kw())
-            return finals, (lambda r: dirs[:, r, :])
+            return np.asarray(finals), np.asarray(dirs), 1
         finals, dirs = wavefront_dirs_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw())
-        finals, dirs = np.asarray(finals), np.asarray(dirs)
-        return finals, (lambda r: dirs[r])
+        return np.asarray(finals), np.asarray(dirs), 0
 
     def _kw(self):
         g, h, match, mismatch = self.params.astuple()
@@ -207,13 +207,13 @@ class BatchAligner:
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s: s + self.max_batch]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
-                finals, dirs_at = self._dirs(a, b, la, lb)
+                finals, dirs, pair_axis = self._dirs(a, b, la, lb)
+                tables, scores = _end_choice_vec(finals, self.end_type,
+                                                 self.params.h)
+                chains = self._walk_chunk(dirs, pair_axis, la, lb, tables,
+                                          traceback_mode, offsets, chunk)
                 for r, k in enumerate(chunk):
-                    id_a, id_b = offsets[k] if offsets else (0, 0)
-                    chain, table, score = traceback_from_dirs(
-                        dirs_at(r), finals[r], int(la[r]), int(lb[r]),
-                        self.params.h, self.end_type, id_a=id_a, id_b=id_b,
-                        layout="skew", mode=traceback_mode)
+                    chain = chains[r]
                     if offsets is None:
                         row_a, row_b = format_alignment(
                             bytes(enc_a[k]), bytes(enc_b[k]), chain)
@@ -222,6 +222,41 @@ class BatchAligner:
                         # renders the stitched result itself
                         row_a = row_b = None
                     results[k] = AlignmentResult(
-                        score=score, chain=chain, aligned_a=row_a,
-                        aligned_b=row_b, end_table=table)
+                        score=float(scores[r]), chain=chain,
+                        aligned_a=row_a, aligned_b=row_b,
+                        end_table=int(tables[r]))
         return results
+
+    def _walk_chunk(self, dirs, pair_axis, la, lb, tables, mode, offsets,
+                    chunk):
+        """Chains for every pair of one device chunk: thread-parallel
+        native walk when libtsa is built, per-pair Python walk otherwise
+        (identical output — tests assert equality)."""
+        from cse305_parallel_sequence_alignment_tpu.native import walker
+        out = walker.walk_batch(dirs, pair_axis, la, lb, tables,
+                                layout="skew", mode=mode)
+        chains = []
+        if out is not None:
+            tt, ii, jj, lens = out
+            for r, k in enumerate(chunk):
+                L = int(lens[r])
+                t_r = tt[r, :L]
+                i_r, j_r = ii[r, :L].copy(), jj[r, :L].copy()
+                if offsets is not None:
+                    id_a, id_b = offsets[k]
+                    # gap points keep their stored zero (quirk B2)
+                    i_r[i_r != 0] += id_a
+                    j_r[j_r != 0] += id_b
+                chains.append(list(zip(t_r.tolist(), i_r.tolist(),
+                                       j_r.tolist())))
+                chains[-1] = [(i, j, t) for (t, i, j) in chains[-1]]
+            return chains
+        for r, k in enumerate(chunk):
+            id_a, id_b = offsets[k] if offsets else (0, 0)
+            d_r = dirs[r] if pair_axis == 0 else dirs[:, r, :]
+            chain, _, _ = traceback_from_dirs(
+                d_r, np.full(3, 0.0), int(la[r]), int(lb[r]),
+                self.params.h, tables[r], id_a=id_a, id_b=id_b,
+                layout="skew", mode=mode)
+            chains.append(chain)
+        return chains

@@ -11,6 +11,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -126,6 +129,98 @@ int tsa_fasta_parse(const uint8_t* buf, int64_t size,
         pos = eol + 1;
     }
     offsets[rec + 1] = out;
+    return 0;
+}
+
+// Batched traceback: walk every pair of a bucket concurrently and emit
+// finished chains (start -> end order, reference point semantics:
+// t==1 stores (i, j); t==2 stores (0, j); t==3 stores (i, 0) — quirk B2).
+//
+//   dirs:      shared direction array for the bucket; cell (pair r,
+//              diag/row d, column j) lives at
+//              dirs[r*stride_r + d*stride_d + j*stride_j]
+//              (covers both the (B, m+n+1, n+1) wavefront layout and the
+//              (m+n+1, B, n+1) Pallas layout via strides)
+//   ms/ns/t0s: per-pair end cell and end table
+//   layout:    0 = rect, 1 = skew
+//   mode:      0 = parity (stop at the matrix edge, drop the first
+//              point — reference B1); 1 = full (emit forced edge runs
+//              to (0,0), drop the (0,0) sentinel)
+//   cap:       per-pair output slot capacity (>= m + n + 2)
+//
+// Chain k of pair r is written at out_*[r*cap + k]; out_len[r] holds the
+// chain length. Walks are independent -> striped across hardware threads.
+static void walk_one_pair(
+        const uint8_t* dirs, int64_t stride_r, int64_t stride_d,
+        int64_t stride_j, int64_t m, int64_t n, int t0, int layout,
+        int mode, int64_t cap, int32_t* out_t, int64_t* out_i,
+        int64_t* out_j, int64_t* out_len, int64_t r) {
+    const uint8_t* base = dirs + r * stride_r;
+    // rev buffers hold end -> start; emit reversed with first dropped
+    std::vector<int32_t> rt;
+    std::vector<int64_t> ri, rj;
+    rt.reserve(cap); ri.reserve(cap); rj.reserve(cap);
+    auto push = [&](int64_t i, int64_t j, int t) {
+        rt.push_back(t);
+        ri.push_back(t == 2 ? 0 : i);
+        rj.push_back(t == 3 ? 0 : j);
+    };
+    int64_t i = m, j = n;
+    int t = t0;
+    push(i, j, t);
+    while (i > 0 && j > 0) {
+        int64_t row = (layout == 1) ? (i + j) : i;
+        uint8_t byte = base[row * stride_d + j * stride_j];
+        int shift = (t == 1) ? 0 : (t == 2) ? 2 : 4;
+        int tn = ((byte >> shift) & 0x3) + 1;
+        int64_t pi, pj;
+        if (t == 1)      { pi = i - 1; pj = j - 1; i--; j--; }
+        else if (t == 2) { pi = i;     pj = j - 1; j--; }
+        else             { pi = i - 1; pj = j;     i--; }
+        push(pi, pj, tn);
+        t = tn;
+    }
+    if (mode == 1) {
+        if (i == 0) {
+            while (j > 0) { push(0, j - 1, 2); j--; }
+        } else {
+            while (i > 0) { push(i - 1, 0, 3); i--; }
+        }
+    }
+    // reversed(rev)[1:]: drop the deepest point (rev's last entry, B1 /
+    // the (0,0) sentinel) and emit the rest start -> end
+    int64_t len = (int64_t)rt.size() - 1;
+    if (len < 0) len = 0;
+    for (int64_t k = 0; k < len; k++) {
+        int64_t src = len - 1 - k;  // rev[len-1] .. rev[0]
+        out_t[r * cap + k] = rt[src];
+        out_i[r * cap + k] = ri[src];
+        out_j[r * cap + k] = rj[src];
+    }
+    out_len[r] = len;
+}
+
+int tsa_walk_batch(const uint8_t* dirs, int64_t stride_r, int64_t stride_d,
+                   int64_t stride_j, const int64_t* ms, const int64_t* ns,
+                   const int32_t* t0s, int64_t B, int layout, int mode,
+                   int64_t cap, int32_t* out_t, int64_t* out_i,
+                   int64_t* out_j, int64_t* out_len) {
+    int64_t nthreads = std::min<int64_t>(
+        B, std::max(1u, std::thread::hardware_concurrency()));
+    auto worker = [&](int64_t w) {
+        for (int64_t r = w; r < B; r += nthreads) {
+            walk_one_pair(dirs, stride_r, stride_d, stride_j, ms[r],
+                          ns[r], t0s[r], layout, mode, cap, out_t, out_i,
+                          out_j, out_len, r);
+        }
+    };
+    if (nthreads <= 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t w = 0; w < nthreads; w++) pool.emplace_back(worker, w);
+        for (auto& th : pool) th.join();
+    }
     return 0;
 }
 

@@ -49,6 +49,13 @@ def _load():
         lib.tsa_fasta_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.tsa_walk_batch.restype = ctypes.c_int
+        lib.tsa_walk_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -77,6 +84,43 @@ def walk(dirs, m, n, t0, layout):
         out_t.ctypes.data, out_pi.ctypes.data, out_pj.ctypes.data)
     return list(zip(out_t[:k].tolist(), out_pi[:k].tolist(),
                     out_pj[:k].tolist()))
+
+
+def walk_batch(dirs, pair_axis, ms, ns, t0s, layout, mode):
+    """Thread-parallel traceback of every pair sharing one direction
+    array.
+
+    ``dirs``: uint8 array with a pair axis at ``pair_axis`` — either
+    (B, m+n+1, n+1) (wavefront, pair_axis=0) or (m+n+1, B, n+1)
+    (Pallas, pair_axis=1). ``mode``: "parity" | "full". Returns
+    (tt, ii, jj, lens) with chains at [r, :lens[r]], or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    dirs = np.ascontiguousarray(dirs)
+    if dirs.dtype != np.uint8:
+        dirs = dirs.astype(np.uint8)
+    stride_r = dirs.strides[pair_axis]
+    stride_d = dirs.strides[0 if pair_axis != 0 else 1]
+    stride_j = dirs.strides[2]
+    B = dirs.shape[pair_axis]
+    ms = np.ascontiguousarray(ms, np.int64)
+    ns = np.ascontiguousarray(ns, np.int64)
+    t0s = np.ascontiguousarray(t0s, np.int32)
+    cap = int(ms.max(initial=0) + ns.max(initial=0) + 2)
+    out_t = np.empty((B, cap), np.int32)
+    out_i = np.empty((B, cap), np.int64)
+    out_j = np.empty((B, cap), np.int64)
+    out_len = np.empty((B,), np.int64)
+    lib.tsa_walk_batch(
+        dirs.ctypes.data, stride_r, stride_d, stride_j,
+        ms.ctypes.data, ns.ctypes.data, t0s.ctypes.data, B,
+        1 if layout == "skew" else 0, 1 if mode == "full" else 0,
+        cap, out_t.ctypes.data, out_i.ctypes.data, out_j.ctypes.data,
+        out_len.ctypes.data)
+    return out_t, out_i, out_j, out_len
 
 
 def render(a_enc, b_enc, tt, ii, jj):

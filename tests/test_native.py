@@ -24,6 +24,36 @@ def test_native_walk_equals_python():
         assert got.aligned_a == want.aligned_a
 
 
+def test_native_walk_batch_equals_python_fallback():
+    """The threaded native batch walk must emit chains byte-identical to
+    the per-pair Python walk, for both parity and full modes."""
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+    rng = np.random.default_rng(29)
+    pairs = []
+    for _ in range(9):
+        m = int(rng.integers(5, 50))
+        n = int(rng.integers(5, 50))
+        pairs.append(("".join(rng.choice(list("ACGT"), m)),
+                      "".join(rng.choice(list("ACGT"), n))))
+    for mode, offsets in (("parity", None),
+                          ("full", [(10 * k, 3 * k)
+                                    for k in range(len(pairs))])):
+        native = BatchAligner().align_batch(
+            pairs, offsets=offsets, traceback_mode=mode)
+        orig = walker.walk_batch
+        walker.walk_batch = lambda *a, **k: None
+        try:
+            fallback = BatchAligner().align_batch(
+                pairs, offsets=offsets, traceback_mode=mode)
+        finally:
+            walker.walk_batch = orig
+        for rn, rf in zip(native, fallback):
+            assert rn.chain == rf.chain
+            assert rn.score == rf.score and rn.end_table == rf.end_table
+
+
 def test_native_render():
     chain = [(1, 1, 1), (2, 2, 1), (0, 3, 2), (3, 4, 1), (4, 5, 1)]
     tt = [t for (_, _, t) in chain]
