@@ -201,6 +201,29 @@ def cmd_stream(args):
     return 0
 
 
+def cmd_parity(args):
+    cfg = config_from_args(args)
+    from cse305_parallel_sequence_alignment_tpu.harness.parity import (
+        run_parity,
+        sample_dataset_pairs,
+    )
+    pairs = sample_dataset_pairs(cfg.data_path, args.count, args.max_len,
+                                 seed=cfg.seed)
+    ok, mismatches = run_parity(pairs, g=cfg.g, h=cfg.h)
+    print(json.dumps({"pairs": len(pairs), "byte_equal": ok,
+                      "mismatches": len(mismatches)}))
+    return 0 if ok else 1
+
+
+def cmd_perf(args):
+    from cse305_parallel_sequence_alignment_tpu.harness.perfreport import (
+        run_report,
+    )
+    run_report(lengths=tuple(args.lengths), batches=tuple(args.batches),
+               include_longseq=not args.no_longseq)
+    return 0
+
+
 def cmd_info(args):
     import jax
     print(json.dumps({
@@ -271,6 +294,19 @@ def main(argv=None):
     p.add_argument("--stream-dir", default="stream_out")
     add_config_args(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("parity",
+                       help="byte-diff vs the repaired reference binary")
+    p.add_argument("--count", type=int, default=10)
+    p.add_argument("--max-len", type=int, default=200)
+    add_config_args(p)
+    p.set_defaults(fn=cmd_parity)
+
+    p = sub.add_parser("perf", help="GCUPS sweep report (JSON lines)")
+    p.add_argument("--lengths", type=int, nargs="+", default=[512, 2048])
+    p.add_argument("--batches", type=int, nargs="+", default=[64, 256])
+    p.add_argument("--no-longseq", action="store_true")
+    p.set_defaults(fn=cmd_perf)
 
     p = sub.add_parser("info", help="backend and device info")
     p.set_defaults(fn=cmd_info)
