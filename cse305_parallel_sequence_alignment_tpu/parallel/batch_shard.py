@@ -54,9 +54,33 @@ def _sharded_score(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
     return mapped(a_enc, b_enc, len_a, len_b)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "h", "match", "mismatch", "start_type",
+                     "num_devices"))
+def _sharded_dirs(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
+                  start_type, num_devices):
+    """Data-sharded dirs-emitting fill: every device fills its shard's
+    direction matrices; finals and dirs come back batch-sharded."""
+    mesh = make_data_mesh(num_devices)
+    fn = functools.partial(
+        _wavefront_single, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type, want_dirs=True)
+
+    def local(a, b, la, lb):
+        return jax.vmap(fn)(a, b, la, lb)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False)
+    return mapped(a_enc, b_enc, len_a, len_b)
+
+
 @dataclasses.dataclass
 class ShardedBatchAligner(BatchAligner):
-    """BatchAligner whose fill launches are sharded over the data mesh."""
+    """BatchAligner whose fill launches (score and dirs) are sharded
+    over the data mesh; traceback stays on host (native batch walk)."""
 
     num_devices: int = 0  # 0 = all
 
@@ -64,7 +88,7 @@ class ShardedBatchAligner(BatchAligner):
         if self.num_devices <= 0:
             self.num_devices = jax.device_count()
 
-    def _finals(self, a, b, la, lb):
+    def _pad_and_put(self, a, b, la, lb):
         nd = self.num_devices
         B = a.shape[0]
         Bp = -(-B // nd) * nd
@@ -76,10 +100,21 @@ class ShardedBatchAligner(BatchAligner):
             lb = np.concatenate([lb, np.repeat(lb[-1:], pad, 0)], 0)
         mesh = make_data_mesh(nd)
         sharding = NamedSharding(mesh, P("data"))
-        dev = [jax.device_put(jnp.asarray(x), sharding)
-               for x in (a, b, la, lb)]
+        return [jax.device_put(jnp.asarray(x), sharding)
+                for x in (a, b, la, lb)], B
+
+    def _finals(self, a, b, la, lb):
+        dev, B = self._pad_and_put(a, b, la, lb)
         g, h, match, mismatch = self.params.astuple()
         out = _sharded_score(*dev, g=g, h=h, match=match,
                              mismatch=mismatch, start_type=self.start_type,
-                             num_devices=nd)
+                             num_devices=self.num_devices)
         return np.asarray(out)[:B]
+
+    def _dirs(self, a, b, la, lb):
+        dev, B = self._pad_and_put(a, b, la, lb)
+        g, h, match, mismatch = self.params.astuple()
+        finals, dirs = _sharded_dirs(
+            *dev, g=g, h=h, match=match, mismatch=mismatch,
+            start_type=self.start_type, num_devices=self.num_devices)
+        return np.asarray(finals)[:B], np.asarray(dirs)[:B], 0
