@@ -86,10 +86,19 @@ class SemiGlobalBatchAligner:
                                           mismatch=-1.0)
     bucket_quantum: int = 128
     max_batch: int = 512
+    backend: str = "auto"  # score path: Pallas on TPU, wavefront else
 
     def _kw(self):
         g, h, match, mismatch = self.params.astuple()
         return dict(g=g, h=h, match=match, mismatch=mismatch)
+
+    def _use_pallas(self):
+        if self.backend == "pallas":
+            return True
+        if self.backend == "wavefront":
+            return False
+        import jax
+        return jax.default_backend() == "tpu"
 
     def _prep(self, pairs):
         enc_a = [encode_seq(p[0]) if isinstance(p[0], (str, bytes))
@@ -129,9 +138,17 @@ class SemiGlobalBatchAligner:
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s: s + self.max_batch]
                 a, b, la, lb = self._arrays(enc_a, enc_b, chunk, key)
-                out = np.asarray(semiglobal_score_batch(
-                    jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
-                    jnp.asarray(lb), **self._kw()))
+                if self._use_pallas():
+                    from cse305_parallel_sequence_alignment_tpu.ops. \
+                        pallas_semiglobal import (
+                            pallas_semiglobal_score_batch,
+                        )
+                    out = pallas_semiglobal_score_batch(
+                        a, b, la, lb, **self._kw())
+                else:
+                    out = np.asarray(semiglobal_score_batch(
+                        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+                        jnp.asarray(lb), **self._kw()))
                 scores[chunk] = out[:, 0]
                 tables[chunk] = out[:, 1].astype(np.int32)
                 ejs[chunk] = out[:, 3].astype(np.int32)

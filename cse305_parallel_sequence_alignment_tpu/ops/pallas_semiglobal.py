@@ -1,0 +1,182 @@
+"""Pallas TPU kernels for the semi-global fill (ops/semiglobal.py).
+
+Same batch-sublane x diagonal-lane mapping as ops/pallas_fill.py; the
+running best over the last query row (tables T1 >= T2 >= T3, smallest
+column) is tracked in VMEM scratch like the local kernel's best cell.
+Returns (B, 4): [score, end_table, end_i (= len_a), end_j].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cse305_parallel_sequence_alignment_tpu.core import (
+    DIR_T1_SHIFT,
+    DIR_T2_SHIFT,
+    DIR_T3_SHIFT,
+    NEG_INF,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+    DEF_BLOCK_B,
+    _default_interpret,
+    _first_argmax3,
+    _neg,
+    _shift_right_neg,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_local import (
+    _prep_sw_inputs,
+)
+
+_BIG_J = 2.0 ** 24
+
+
+def _sg_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, p, q,
+                  want_dirs):
+    """One semi-global anti-diagonal (free T1 row 0, paid column 0)."""
+    p1, p2, p3 = p
+    q1, q2, q3 = q
+    ii = d - jj
+    interior = (jj >= 1) & (ii >= 1) & (ii <= m)
+    on_row0 = ii == 0
+    on_col0 = (jj == 0) & (ii >= 1) & (ii <= m)
+    valid = (ii >= 0) & (ii <= m)
+    neg_inf = jnp.float32(NEG_INF)
+
+    fvec = jnp.where(av == b_ext, jnp.float32(match), jnp.float32(mismatch))
+    s1, s2, s3 = (_shift_right_neg(q1), _shift_right_neg(q2),
+                  _shift_right_neg(q3))
+    t1_int = fvec + jnp.maximum(jnp.maximum(s1, s2), s3)
+
+    l1, l2, l3 = (_shift_right_neg(p1), _shift_right_neg(p2),
+                  _shift_right_neg(p3))
+    c2a, c2b, c2c = l1 - g - h, l2 - g, l3 - g - h
+    t2_int = jnp.maximum(jnp.maximum(c2a, c2b), c2c)
+
+    c3a, c3b, c3c = p1 - g - h, p2 - g - h, p3 - g
+    t3_int = jnp.maximum(jnp.maximum(c3a, c3b), c3c)
+
+    col0_t3 = -h - g * jnp.float32(d)  # row i = d at column 0
+    t1 = jnp.where(on_row0, 0.0, jnp.where(interior, t1_int, neg_inf))
+    t2 = jnp.where(interior, t2_int, neg_inf)
+    t3 = jnp.where(on_col0, col0_t3, jnp.where(interior, t3_int, neg_inf))
+    t1 = jnp.where(valid, t1, neg_inf)
+    t2 = jnp.where(valid, t2, neg_inf)
+    t3 = jnp.where(valid, t3, neg_inf)
+
+    if not want_dirs:
+        return (t1, t2, t3), None
+    d1 = _first_argmax3(s1, s2, s3)
+    d2 = _first_argmax3(c2a, c2b, c2c)
+    d3 = _first_argmax3(c3a, c3b, c3c)
+    packed = jnp.where(
+        interior,
+        (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | (d3 << DIR_T3_SHIFT),
+        jnp.uint8(0),
+    )
+    return (t1, t2, t3), packed
+
+
+def _sg_update_best(best, t123, jj, d, la_col, lb_col):
+    """Running best over cells of row len_a (columns 1..len_b), tables
+    T1 >= T2 >= T3, then smallest column; earliest diagonal wins ties
+    across steps (strict >)."""
+    bv, bt, bj = best
+    t1, t2, t3 = t123
+    ii = d - jj
+    onrow = ((ii.astype(jnp.float32) == la_col) & (jj >= 1)
+             & (jj.astype(jnp.float32) <= lb_col))
+    neg = jnp.float32(NEG_INF)
+    cv1 = jnp.max(jnp.where(onrow, t1, neg), axis=-1, keepdims=True)
+    cv2 = jnp.max(jnp.where(onrow, t2, neg), axis=-1, keepdims=True)
+    cv3 = jnp.max(jnp.where(onrow, t3, neg), axis=-1, keepdims=True)
+    cv = jnp.maximum(jnp.maximum(cv1, cv2), cv3)
+    ct = jnp.where(cv1 >= cv, 1.0, jnp.where(cv2 >= cv, 2.0, 3.0))
+    row = jnp.where(ct == 1.0, t1, jnp.where(ct == 2.0, t2, t3))
+    jf = jj.astype(jnp.float32)
+    cj = jnp.min(jnp.where(onrow & (row == cv), jf, _BIG_J), axis=-1,
+                 keepdims=True)
+    better = cv > bv
+    return (jnp.where(better, cv, bv),
+            jnp.where(better, ct, bt),
+            jnp.where(better, cj, bj))
+
+
+def _sg_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
+                     *, m, n, g, h, match, mismatch):
+    block_b = bext_ref.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    b_ext = bext_ref[...]
+    la_col = la_ref[:, 0:1].astype(jnp.float32)
+    lb_col = lb_ref[:, 0:1].astype(jnp.float32)
+
+    zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
+    diag0 = (zero_at0, _neg((block_b, n + 1)), _neg((block_b, n + 1)))
+    neg_diag = tuple(_neg((block_b, n + 1)) for _ in range(3))
+    best0 = (jnp.full((block_b, 1), jnp.float32(NEG_INF)),
+             jnp.ones((block_b, 1), jnp.float32),
+             jnp.zeros((block_b, 1), jnp.float32))
+    best0 = _sg_update_best(best0, diag0, jj, 0, la_col, lb_col)
+
+    def body(d, carry):
+        p, q, best = carry
+        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        t123, _ = _sg_diag_step(d, av, b_ext, jj, m, g, h, match,
+                                mismatch, p, q, want_dirs=False)
+        best = _sg_update_best(best, t123, jj, d, la_col, lb_col)
+        return (t123, p, best)
+
+    _, _, best = jax.lax.fori_loop(1, m + n + 1, body,
+                                   (diag0, neg_diag, best0))
+    out_ref[...] = jnp.concatenate(
+        [best[0], best[1], la_col, best[2], _neg((block_b, 124))], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "g", "h", "match", "mismatch", "block_b",
+                     "interpret"))
+def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
+                     mismatch, block_b, interpret):
+    B = arev_pad.shape[0]
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _sg_score_kernel, m=m, n=n, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        interpret=interpret,
+    )(arev_pad, b_ext, la, lb)
+
+
+def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
+                                  h=2.0, match=1.0, mismatch=-1.0,
+                                  block_b=DEF_BLOCK_B, interpret=None):
+    """Batched semi-global scores. Returns (B, 4): [score, end_table,
+    end_i, end_j]."""
+    arev_pad, b_ext, la, lb, B, m, n = _prep_sw_inputs(
+        a_enc, b_enc, len_a, len_b, block_b)
+    out = _pallas_sg_score(
+        arev_pad, b_ext, la, lb, m=m, n=n, g=g, h=h, match=match,
+        mismatch=mismatch, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    return np.asarray(out)[:B, :4]

@@ -30,6 +30,38 @@ def test_sg_scores_vs_oracle():
         assert (tables[k], ejs[k]) == (wt, wj), k
 
 
+def test_sg_pallas_interpret_matches_wavefront():
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_semiglobal \
+        import pallas_semiglobal_score_batch
+    import jax.numpy as jnp
+    from cse305_parallel_sequence_alignment_tpu.ops.semiglobal import (
+        semiglobal_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+        PAD_A,
+        PAD_B,
+    )
+    rng = np.random.default_rng(65)
+    B, bm, bn = 6, 14, 20
+    a = np.full((B, bm), PAD_A, np.uint8)
+    b = np.full((B, bn), PAD_B, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for k in range(B):
+        la[k] = int(rng.integers(1, bm + 1))
+        lb[k] = int(rng.integers(1, bn + 1))
+        a[k, : la[k]] = rng.integers(65, 69, la[k])
+        b[k, : lb[k]] = rng.integers(65, 69, lb[k])
+    g, h, match, mismatch = PARAMS.astuple()
+    got = pallas_semiglobal_score_batch(
+        a, b, la, lb, g=g, h=h, match=match, mismatch=mismatch,
+        block_b=8, interpret=True)
+    want = np.asarray(semiglobal_score_batch(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+        g=g, h=h, match=match, mismatch=mismatch))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sg_query_embedded_in_target():
     """A query that literally occurs inside the target scores m matches."""
     rng = np.random.default_rng(62)
