@@ -8,7 +8,6 @@ Axis conventions used across the framework:
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 
 def make_data_mesh(num_devices=None):

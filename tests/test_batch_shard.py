@@ -2,7 +2,6 @@
 virtual mesh."""
 
 import numpy as np
-import pytest
 
 from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
 from cse305_parallel_sequence_alignment_tpu.models.oracle import oracle_align

@@ -2,7 +2,6 @@
 
 import json
 
-import pytest
 
 from cse305_parallel_sequence_alignment_tpu.__main__ import main
 

@@ -8,12 +8,8 @@ traceback chains must re-score to the reported value.
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from cse305_parallel_sequence_alignment_tpu.core import (
-    ScoringParams,
-    end_table_choice,
-)
+from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
 from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
 from cse305_parallel_sequence_alignment_tpu.models.oracle import (
     oracle_align,

@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
 from cse305_parallel_sequence_alignment_tpu.models.local import (
@@ -14,8 +13,6 @@ from cse305_parallel_sequence_alignment_tpu.models.local_oracle import (
     sw_oracle_best,
 )
 from cse305_parallel_sequence_alignment_tpu.ops.cigar import (
-    chain_to_cigar,
-    chain_to_cigar_extended,
     cigar_consumed,
 )
 from cse305_parallel_sequence_alignment_tpu.ops.local import sw_score_batch

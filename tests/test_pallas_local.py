@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cse305_parallel_sequence_alignment_tpu.models.local_oracle import (
     sw_oracle_align,

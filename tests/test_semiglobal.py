@@ -1,7 +1,6 @@
 """Semi-global mode: scores/traceback vs the serial oracle."""
 
 import numpy as np
-import pytest
 
 from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
 from cse305_parallel_sequence_alignment_tpu.models.semiglobal import (

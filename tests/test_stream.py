@@ -1,9 +1,7 @@
 """Streaming engine: chunking, resume, multi-host striping, observability."""
 
-import json
 
 import numpy as np
-import pytest
 
 from cse305_parallel_sequence_alignment_tpu.harness.stream import (
     StreamRunner,

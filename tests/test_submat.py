@@ -1,6 +1,5 @@
 """Substitution-matrix scoring: kernels + BatchAligner vs the oracle."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
