@@ -1,0 +1,144 @@
+"""One-shot TPU validation + benchmark: run when a real chip is attached.
+
+Order: correctness of every Pallas kernel against the pure-JAX fills on
+device, then reference-parity spot checks, then the GCUPS sweep and the
+headline bench. Exits nonzero on any mismatch. Run:
+
+    python scripts/tpu_validate.py            # full
+    python scripts/tpu_validate.py --quick    # correctness only
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU request over the site hook's TPU override
+        jax.config.update("jax_platforms", "cpu")
+
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={jax.devices()}", flush=True)
+    if backend != "tpu":
+        print("WARNING: not running on TPU", flush=True)
+
+    from cse305_parallel_sequence_alignment_tpu.models.local_oracle import (
+        LOCAL_PARAMS,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_dirs_batch,
+        pallas_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_local import (
+        pallas_sw_dirs_batch,
+        pallas_sw_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_semiglobal \
+        import pallas_semiglobal_score_batch
+    from cse305_parallel_sequence_alignment_tpu.ops.local import (
+        sw_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.semiglobal import (
+        semiglobal_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+        PAD_A,
+        PAD_B,
+        wavefront_score_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    B, bm, bn = 64, 192, 256
+    a = np.full((B, bm), PAD_A, np.uint8)
+    b = np.full((B, bn), PAD_B, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for k in range(B):
+        la[k] = int(rng.integers(1, bm + 1))
+        lb[k] = int(rng.integers(1, bn + 1))
+        a[k, : la[k]] = rng.integers(65, 69, la[k])
+        b[k, : lb[k]] = rng.integers(65, 69, lb[k])
+    ja, jb = jnp.asarray(a), jnp.asarray(b)
+    jla, jlb = jnp.asarray(la), jnp.asarray(lb)
+
+    failures = 0
+
+    def check(name, got, want):
+        nonlocal failures
+        ok = np.array_equal(np.asarray(got), np.asarray(want))
+        print(f"{name}: {'OK' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            failures += 1
+
+    t0 = time.time()
+    want = np.asarray(wavefront_score_batch(ja, jb, jla, jlb))
+    for st in (-1, -2, 2):
+        w = want if st == -1 else np.asarray(
+            wavefront_score_batch(ja, jb, jla, jlb, start_type=st))
+        got = pallas_score_batch(a, b, la, lb, start_type=st)
+        check(f"pallas_score start={st}", got, w)
+    finals, dirs = pallas_dirs_batch(a, b, la, lb)
+    check("pallas_dirs finals", finals, want)
+
+    g, h, match, mismatch = LOCAL_PARAMS.astuple()
+    want_sw = np.asarray(sw_score_batch(
+        ja, jb, jla, jlb, g=g, h=h, match=match, mismatch=mismatch))
+    got_sw = pallas_sw_score_batch(a, b, la, lb, g=g, h=h, match=match,
+                                   mismatch=mismatch)
+    check("pallas_sw_score", got_sw, want_sw)
+    best2, _ = pallas_sw_dirs_batch(a, b, la, lb, g=g, h=h, match=match,
+                                    mismatch=mismatch)
+    check("pallas_sw_dirs best", best2, want_sw)
+
+    want_sg = np.asarray(semiglobal_score_batch(
+        ja, jb, jla, jlb, g=1.0, h=2.0, match=1.0, mismatch=-1.0))
+    got_sg = pallas_semiglobal_score_batch(
+        a, b, la, lb, g=1.0, h=2.0, match=1.0, mismatch=-1.0)
+    check("pallas_semiglobal_score", got_sg, want_sg)
+    print(f"correctness wall: {time.time() - t0:.1f}s", flush=True)
+
+    # reference-parity spot check through the full batch pipeline
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+    from cse305_parallel_sequence_alignment_tpu.models.oracle import (
+        oracle_align,
+    )
+    pairs = [("".join(rng.choice(list("ACGT"), 80)),
+              "".join(rng.choice(list("ACGT"), 100))) for _ in range(8)]
+    res = BatchAligner().align_batch(pairs)
+    ok = all(r.aligned_a == oracle_align(x, y).aligned_a
+             for (x, y), r in zip(pairs, res))
+    check("batch align parity", ok, True)
+
+    if failures:
+        print(f"{failures} FAILURES", flush=True)
+        return 1
+    if quick:
+        return 0
+
+    from cse305_parallel_sequence_alignment_tpu.harness.perfreport import (
+        run_report,
+    )
+    run_report(lengths=(512, 2048), batches=(64, 256))
+    import subprocess
+    out = subprocess.run([sys.executable, "bench.py"], capture_output=True)
+    print(out.stdout.decode().strip(), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
