@@ -28,6 +28,9 @@ WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "1500"))
 
 def _bench(batch=256, m=2048, n=2048, iters=3):
     import numpy as np
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_comp_cache")
     import jax
 
     # honor an explicit CPU request even when a site hook pre-set the
