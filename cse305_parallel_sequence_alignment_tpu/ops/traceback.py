@@ -53,8 +53,17 @@ def traceback_from_dirs(dirs, finals, m, n, h, end_type=-1, id_a=0, id_b=0,
     table, score = end_table_choice(
         float(finals[0]), float(finals[1]), float(finals[2]), end_type, h)
 
-    def cell(i, j):
-        return dirs[i + j, j] if layout == "skew" else dirs[i, j]
+    if isinstance(layout, tuple):  # ("band", w_lo): dirs[i, j - i + w_lo]
+        w_lo = layout[1]
+
+        def cell(i, j):
+            return dirs[i, j - i + w_lo]
+    elif layout == "skew":
+        def cell(i, j):
+            return dirs[i + j, j]
+    else:
+        def cell(i, j):
+            return dirs[i, j]
 
     def point(pi, pj, t):
         if t == 1:
@@ -178,6 +187,8 @@ def traceback_semiglobal_from_dirs(dirs, end_t, end_i, end_j,
 
 def _native_walk(dirs, m, n, t, layout):
     """Use the C++ walker if built; returns list of (t', pi, pj) or None."""
+    if not isinstance(layout, str):
+        return None  # band layout: python walk only
     try:
         from cse305_parallel_sequence_alignment_tpu.native import walker
     except Exception:
