@@ -14,8 +14,12 @@ from cse305_parallel_sequence_alignment_tpu.models.semiglobal import (
     SemiGlobalBatchAligner,
     SemiGlobalResult,
 )
+from cse305_parallel_sequence_alignment_tpu.models.banded import (
+    BandedAligner,
+)
 
 __all__ = [
+    "BandedAligner",
     "SemiGlobalBatchAligner",
     "SemiGlobalResult",
     "oracle_align",
