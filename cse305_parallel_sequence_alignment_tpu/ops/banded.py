@@ -186,6 +186,35 @@ def banded_score(a_enc, b_enc, w_lo, w_hi, g=1.0, h=2.0, match=1.0,
         start_type, w_lo, W, n))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "h", "match", "mismatch", "start_type", "w_lo",
+                     "W", "n"))
+def _banded_score_batch_jit(a_enc, b_ext, g, h, match, mismatch,
+                            start_type, w_lo, W, n):
+    fn = functools.partial(
+        _banded_single, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type, w_lo=w_lo, W=W, n=n, want_dirs=False)
+    return jax.vmap(fn)(a_enc, b_ext)
+
+
+def banded_score_batch(a_enc, b_enc, w_lo, w_hi, g=1.0, h=2.0, match=1.0,
+                       mismatch=0.0, start_type=-1):
+    """Batched banded fill: (B, m) x (B, n) equal-shape pairs -> (B, 3)
+    finals. All pairs share the band and true lengths (pad-free fast
+    path for uniform similar-pair workloads)."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    band_check(m, n, w_lo, w_hi)
+    W = w_lo + w_hi + 1
+    b_ext = np.stack([_prep_b(b_enc[k], n, w_lo, W) for k in range(B)])
+    return np.asarray(_banded_score_batch_jit(
+        jnp.asarray(a_enc), jnp.asarray(b_ext), g, h, match, mismatch,
+        start_type, w_lo, W, n))
+
+
 def banded_dirs(a_enc, b_enc, w_lo, w_hi, g=1.0, h=2.0, match=1.0,
                 mismatch=0.0, start_type=-1):
     """(finals (3,), dirs (m+1, W) packed band-coordinate bytes)."""

@@ -85,6 +85,21 @@ def test_narrow_band_chain_is_valid():
     assert score_chain(ea, eb, got.chain, params) == got.score
 
 
+def test_banded_score_batch():
+    from cse305_parallel_sequence_alignment_tpu.ops.banded import (
+        banded_score_batch,
+    )
+    rng = np.random.default_rng(105)
+    B, m = 5, 48
+    a = np.stack([encode_seq(rand_seq(rng, m)) for _ in range(B)])
+    b = np.stack([encode_seq(mutate(rng, bytes(x).decode(), 3, 0))
+                  for x in a])
+    got = banded_score_batch(a, b, w_lo=12, w_hi=12)
+    for k in range(B):
+        want = banded_score(a[k], b[k], w_lo=12, w_hi=12)
+        np.testing.assert_array_equal(got[k], want)
+
+
 def test_banded_score_only_matches_align():
     rng = np.random.default_rng(104)
     a = rand_seq(rng, 40)

@@ -57,6 +57,19 @@ def test_partitioned_align_other_params():
         assert got.score == want.score, (g, h)
 
 
+def test_partitioned_align_medium_grid():
+    """Integration: 300x400 grid, p=8 — the long-pair path end to end
+    (crossing search, anchored segment batch, stitch) vs the oracle."""
+    rng = np.random.default_rng(34)
+    a, b = rand_pair(rng, 300, 400)
+    want = oracle_align(a, b)
+    got = PartitionedAligner(p=8).align(a, b)
+    assert got.score == want.score
+    a_cons = sum(1 for (_, _, t) in got.chain if t in (1, 3))
+    b_cons = sum(1 for (_, _, t) in got.chain if t in (1, 2))
+    assert (a_cons, b_cons) == (300, 400)
+
+
 def test_score_chain_evaluator():
     a, b = encode_seq("AGGA"), encode_seq("AGTGC")
     chain = [(1, 1, 1), (2, 2, 1), (0, 3, 2), (3, 4, 1), (4, 5, 1)]
