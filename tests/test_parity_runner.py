@@ -26,6 +26,21 @@ def test_live_parity_on_dataset_samples():
     assert ok, mismatches
 
 
+def test_live_parity_kb_scale():
+    """Byte parity at kb scale (1.2 kb x 1.5 kb dataset slices) — the
+    regime where engine disagreements (tie-breaks, boundary handling)
+    would actually surface."""
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    pairs = [(seqs[3][:1200], seqs[11][:1500]),
+             (seqs[8][:1000], seqs[8][500:1500])]
+    ok, mismatches = run_parity(pairs, driver=driver)
+    assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
+
+
 def test_live_parity_equal_lengths():
     pairs = sample_dataset_pairs(
         "/root/reference/gene_sequences_test", count=4, max_len=80,
