@@ -17,9 +17,15 @@ from cse305_parallel_sequence_alignment_tpu.models.semiglobal import (
 from cse305_parallel_sequence_alignment_tpu.models.banded import (
     BandedAligner,
 )
+from cse305_parallel_sequence_alignment_tpu.models.overlap import (
+    OverlapBatchAligner,
+    OverlapResult,
+)
 
 __all__ = [
     "BandedAligner",
+    "OverlapBatchAligner",
+    "OverlapResult",
     "SemiGlobalBatchAligner",
     "SemiGlobalResult",
     "oracle_align",

@@ -185,6 +185,31 @@ def traceback_semiglobal_from_dirs(dirs, end_t, end_i, end_j,
     return list(reversed(rev))
 
 
+def traceback_overlap_from_dirs(dirs, end_t, end_i, end_j, layout="skew"):
+    """Overlap-mode walk: from the best edge cell back to either zero
+    boundary (both prefixes are free, so the walk simply stops there).
+    Chain is start..end with every aligned column present."""
+    dirs = np.asarray(dirs)
+
+    def cell(i, j):
+        return dirs[i + j, j] if layout == "skew" else dirs[i, j]
+
+    rev = []
+    i, j, t = int(end_i), int(end_j), int(end_t)
+    while i > 0 and j > 0:
+        rev.append((i, j, t) if t == 1 else
+                   ((0, j, 2) if t == 2 else (i, 0, 3)))
+        code = int((cell(i, j) >> _SHIFTS[t]) & 0x3)
+        if t == 1:
+            i, j = i - 1, j - 1
+        elif t == 2:
+            j = j - 1
+        else:
+            i = i - 1
+        t = code + 1
+    return list(reversed(rev))
+
+
 def _native_walk(dirs, m, n, t, layout):
     """Use the C++ walker if built; returns list of (t', pi, pj) or None."""
     if not isinstance(layout, str):
