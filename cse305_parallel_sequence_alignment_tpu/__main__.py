@@ -101,6 +101,25 @@ def cmd_semiglobal(args):
     return 0
 
 
+def cmd_overlap(args):
+    cfg = config_from_args(args)
+    a, b = _resolve_pair(args, cfg)
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    from cse305_parallel_sequence_alignment_tpu.models import (
+        OverlapBatchAligner,
+    )
+    params = ScoringParams(g=cfg.g, h=cfg.h, match=cfg.match,
+                           mismatch=args.ov_mismatch)
+    res = OverlapBatchAligner(params=params).align_batch([(a, b)])[0]
+    print(json.dumps({
+        "score": res.score,
+        "cigar": res.cigar,
+        "a_span": list(res.a_span),
+        "b_span": list(res.b_span),
+    }))
+    return 0
+
+
 def cmd_batch(args):
     cfg = config_from_args(args)
     names, seqs = _load_data(cfg)
@@ -268,6 +287,13 @@ def main(argv=None):
     p.add_argument("--sg-mismatch", type=float, default=-1.0)
     add_config_args(p)
     p.set_defaults(fn=cmd_semiglobal)
+
+    p = sub.add_parser("overlap",
+                       help="dovetail overlap detection (free outer ends)")
+    _add_pair_args(p)
+    p.add_argument("--ov-mismatch", type=float, default=-1.0)
+    add_config_args(p)
+    p.set_defaults(fn=cmd_overlap)
 
     p = sub.add_parser("batch", help="score/align many dataset pairs")
     p.add_argument("--count", type=int, default=100)

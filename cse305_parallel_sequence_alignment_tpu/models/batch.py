@@ -247,9 +247,8 @@ class BatchAligner:
                     # gap points keep their stored zero (quirk B2)
                     i_r[i_r != 0] += id_a
                     j_r[j_r != 0] += id_b
-                chains.append(list(zip(t_r.tolist(), i_r.tolist(),
-                                       j_r.tolist())))
-                chains[-1] = [(i, j, t) for (t, i, j) in chains[-1]]
+                chains.append(list(zip(i_r.tolist(), j_r.tolist(),
+                                       t_r.tolist())))
             return chains
         for r, k in enumerate(chunk):
             id_a, id_b = offsets[k] if offsets else (0, 0)
