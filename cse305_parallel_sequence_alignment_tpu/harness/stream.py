@@ -58,11 +58,28 @@ class StreamRunner:
         return os.path.join(self.out_dir,
                             f"scores_p{self.process_index}.csv")
 
+    def _config_sig(self):
+        """Signature of result-shaping config; a resume with a different
+        signature would silently mix incompatible scores."""
+        params = getattr(self.aligner, "params", None)
+        return {
+            "chunk_size": self.chunk_size,
+            "process_count": self.process_count,
+            "params": list(params.astuple()) if params else None,
+        }
+
     def _load_manifest(self):
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
-                return json.load(f)
-        return {"done_chunks": [], "pairs": 0, "cells": 0, "seconds": 0.0}
+                man = json.load(f)
+            sig = man.get("config")
+            if sig is not None and sig != self._config_sig():
+                raise ValueError(
+                    f"resume config mismatch: manifest {sig} vs current "
+                    f"{self._config_sig()} — use a fresh out_dir")
+            return man
+        return {"done_chunks": [], "pairs": 0, "cells": 0, "seconds": 0.0,
+                "config": self._config_sig()}
 
     def _save_manifest(self, man):
         tmp = self.manifest_path + ".tmp"

@@ -78,6 +78,9 @@ class BatchAligner:
     bucket_quantum: int = 128
     max_batch: int = 512
     backend: str = "auto"
+    # cap on a single launch's direction-matrix footprint (bytes);
+    # align_batch shrinks its chunk size to fit
+    dirs_budget: int = 2 << 30
     # optional core.SubstitutionMatrix: full KxK scoring instead of
     # match/mismatch; sequences are alphabet-encoded and the fill uses
     # the matrix-lookup wavefront kernels
@@ -204,8 +207,11 @@ class BatchAligner:
         enc_a, enc_b, buckets = self._prep(pairs)
         results: list = [None] * len(pairs)
         for key, idxs in buckets.items():
-            for s in range(0, len(idxs), self.max_batch):
-                chunk = idxs[s: s + self.max_batch]
+            bm, bn = key
+            per_pair = (bm + bn + 1) * (bn + 1)  # dirs bytes per pair
+            step = max(1, min(self.max_batch, self.dirs_budget // per_pair))
+            for s in range(0, len(idxs), step):
+                chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
                 finals, dirs, pair_axis = self._dirs(a, b, la, lb)
                 tables, scores = _end_choice_vec(finals, self.end_type,

@@ -85,6 +85,16 @@ def test_stream_multihost_striping(tmp_path):
     assert not (set(r0) & set(r1))
 
 
+def test_stream_resume_config_mismatch_rejected(tmp_path):
+    import pytest as _pytest
+
+    rng = np.random.default_rng(44)
+    items = list(make_stream(rng, 4))
+    StreamRunner(out_dir=str(tmp_path), chunk_size=4).run(iter(items))
+    with _pytest.raises(ValueError, match="config mismatch"):
+        StreamRunner(out_dir=str(tmp_path), chunk_size=2).run(iter(items))
+
+
 def test_host_shard_partitions_everything():
     for count in (0, 1, 7, 16):
         for pc in (1, 2, 3, 5):
