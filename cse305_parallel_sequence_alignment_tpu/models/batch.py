@@ -35,6 +35,20 @@ from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
 )
 
 
+_warned_fallback = set()
+
+
+def _pallas_fallback_warn(kind, err):
+    """Warn once per kind when a Pallas kernel fails and the engine falls
+    back to the XLA wavefront path (still device-native, just un-fused)."""
+    if kind not in _warned_fallback:
+        _warned_fallback.add(kind)
+        import sys
+        print(f"[tpu-seqalign] pallas {kind} kernel unavailable "
+              f"({type(err).__name__}: {err}); using XLA wavefront path",
+              file=sys.stderr)
+
+
 def _round_up(x, q):
     return max(q, -(-x // q) * q)
 
@@ -113,7 +127,10 @@ class BatchAligner:
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_score_batch
-            return pallas_score_batch(a, b, la, lb, **self._kw())
+            try:
+                return pallas_score_batch(a, b, la, lb, **self._kw())
+            except Exception as e:  # noqa: BLE001 - kernel compile issues
+                _pallas_fallback_warn("score", e)
         return np.asarray(wavefront_score_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw()))
@@ -133,8 +150,12 @@ class BatchAligner:
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_dirs_batch
-            finals, dirs = pallas_dirs_batch(a, b, la, lb, **self._kw())
-            return np.asarray(finals), np.asarray(dirs), 1
+            try:
+                finals, dirs = pallas_dirs_batch(a, b, la, lb,
+                                                 **self._kw())
+                return np.asarray(finals), np.asarray(dirs), 1
+            except Exception as e:  # noqa: BLE001
+                _pallas_fallback_warn("dirs", e)
         finals, dirs = wavefront_dirs_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw())

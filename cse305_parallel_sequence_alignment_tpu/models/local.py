@@ -81,19 +81,30 @@ class LocalBatchAligner:
 
     def _best(self, a, b, la, lb):
         if self._use_pallas():
+            from cse305_parallel_sequence_alignment_tpu.models.batch \
+                import _pallas_fallback_warn
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_local \
                 import pallas_sw_score_batch
-            return pallas_sw_score_batch(a, b, la, lb, **self._kw())
+            try:
+                return pallas_sw_score_batch(a, b, la, lb, **self._kw())
+            except Exception as e:  # noqa: BLE001
+                _pallas_fallback_warn("sw_score", e)
         return np.asarray(sw_score_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw()))
 
     def _best_dirs(self, a, b, la, lb):
         if self._use_pallas():
+            from cse305_parallel_sequence_alignment_tpu.models.batch \
+                import _pallas_fallback_warn
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_local \
                 import pallas_sw_dirs_batch
-            best, dirs = pallas_sw_dirs_batch(a, b, la, lb, **self._kw())
-            return best, (lambda r: dirs[:, r, :])
+            try:
+                best, dirs = pallas_sw_dirs_batch(a, b, la, lb,
+                                                  **self._kw())
+                return best, (lambda r: dirs[:, r, :])
+            except Exception as e:  # noqa: BLE001
+                _pallas_fallback_warn("sw_dirs", e)
         best, dirs = sw_dirs_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw())

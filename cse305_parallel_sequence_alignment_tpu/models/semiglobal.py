@@ -138,14 +138,20 @@ class SemiGlobalBatchAligner:
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s: s + self.max_batch]
                 a, b, la, lb = self._arrays(enc_a, enc_b, chunk, key)
+                out = None
                 if self._use_pallas():
+                    from cse305_parallel_sequence_alignment_tpu.models. \
+                        batch import _pallas_fallback_warn
                     from cse305_parallel_sequence_alignment_tpu.ops. \
                         pallas_semiglobal import (
                             pallas_semiglobal_score_batch,
                         )
-                    out = pallas_semiglobal_score_batch(
-                        a, b, la, lb, **self._kw())
-                else:
+                    try:
+                        out = pallas_semiglobal_score_batch(
+                            a, b, la, lb, **self._kw())
+                    except Exception as e:  # noqa: BLE001
+                        _pallas_fallback_warn("semiglobal_score", e)
+                if out is None:
                     out = np.asarray(semiglobal_score_batch(
                         jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
                         jnp.asarray(lb), **self._kw()))
