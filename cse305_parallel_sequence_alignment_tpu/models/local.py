@@ -66,6 +66,7 @@ class LocalBatchAligner:
     bucket_quantum: int = 128
     max_batch: int = 512
     backend: str = "auto"
+    dirs_budget: int = 2 << 30  # align_batch chunk cap (bytes of dirs)
 
     def _kw(self):
         g, h, match, mismatch = self.params.astuple()
@@ -158,8 +159,12 @@ class LocalBatchAligner:
         enc_a, enc_b, buckets = self._prep(pairs)
         results: list = [None] * len(pairs)
         for key, idxs in buckets.items():
-            for s in range(0, len(idxs), self.max_batch):
-                chunk = idxs[s: s + self.max_batch]
+            bm, bn = key
+            per_pair = (bm + bn + 1) * (bn + 1)
+            step = max(1, min(self.max_batch,
+                              self.dirs_budget // per_pair))
+            for s in range(0, len(idxs), step):
+                chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
                 best, dirs_at = self._best_dirs(a, b, la, lb)
                 for r, k in enumerate(chunk):
