@@ -22,6 +22,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
+from cse305_parallel_sequence_alignment_tpu.models.local import (
+    LocalBatchAligner,
+)
 from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
     _wavefront_single,
 )
@@ -77,6 +80,29 @@ def _sharded_dirs(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
     return mapped(a_enc, b_enc, len_a, len_b)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "h", "match", "mismatch", "num_devices"))
+def _sharded_sw_score(a_enc, b_enc, len_a, len_b, g, h, match, mismatch,
+                      num_devices):
+    """Data-sharded local (SW) score fill."""
+    from cse305_parallel_sequence_alignment_tpu.ops.local import _sw_single
+
+    mesh = make_data_mesh(num_devices)
+    fn = functools.partial(
+        _sw_single, g=g, h=h, match=match, mismatch=mismatch,
+        want_dirs=False)
+
+    def local(a, b, la, lb):
+        return jax.vmap(fn)(a, b, la, lb)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False)
+    return mapped(a_enc, b_enc, len_a, len_b)
+
+
 @dataclasses.dataclass
 class ShardedBatchAligner(BatchAligner):
     """BatchAligner whose fill launches (score and dirs) are sharded
@@ -118,3 +144,35 @@ class ShardedBatchAligner(BatchAligner):
             *dev, g=g, h=h, match=match, mismatch=mismatch,
             start_type=self.start_type, num_devices=self.num_devices)
         return np.asarray(finals)[:B], np.asarray(dirs)[:B], 0
+
+
+@dataclasses.dataclass
+class ShardedLocalBatchAligner(LocalBatchAligner):
+    """LocalBatchAligner whose score fill is sharded over the data mesh
+    (the high-throughput SW filtering mode; traceback of survivors runs
+    through the unsharded dirs path)."""
+
+    num_devices: int = 0  # 0 = all
+
+    def __post_init__(self):
+        if self.num_devices <= 0:
+            self.num_devices = jax.device_count()
+
+    def _best(self, a, b, la, lb):
+        nd = self.num_devices
+        B = a.shape[0]
+        Bp = -(-B // nd) * nd
+        if Bp != B:
+            pad = Bp - B
+            a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+            b = np.concatenate([b, np.repeat(b[-1:], pad, 0)], 0)
+            la = np.concatenate([la, np.repeat(la[-1:], pad, 0)], 0)
+            lb = np.concatenate([lb, np.repeat(lb[-1:], pad, 0)], 0)
+        mesh = make_data_mesh(nd)
+        sharding = NamedSharding(mesh, P("data"))
+        dev = [jax.device_put(jnp.asarray(x), sharding)
+               for x in (a, b, la, lb)]
+        g, h, match, mismatch = self.params.astuple()
+        out = _sharded_sw_score(*dev, g=g, h=h, match=match,
+                                mismatch=mismatch, num_devices=nd)
+        return np.asarray(out)[:B]

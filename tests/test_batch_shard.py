@@ -36,6 +36,23 @@ def test_sharded_align_matches_oracle():
         assert r.score == want.score
 
 
+def test_sharded_local_scores_match_unsharded():
+    from cse305_parallel_sequence_alignment_tpu.models.local import (
+        LocalBatchAligner,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.batch_shard import (
+        ShardedLocalBatchAligner,
+    )
+    rng = np.random.default_rng(94)
+    pairs = rand_pairs(rng, 13)
+    s1, e1, f1 = LocalBatchAligner(backend="wavefront").score_batch(pairs)
+    s2, e2, f2 = ShardedLocalBatchAligner(
+        backend="wavefront").score_batch(pairs)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(f1, f2)
+
+
 def test_sharded_fewer_devices():
     rng = np.random.default_rng(93)
     pairs = rand_pairs(rng, 6)
