@@ -22,8 +22,14 @@ from cse305_parallel_sequence_alignment_tpu.core import (
     NEG_INF,
     AlignmentResult,
     ScoringParams,
+    SubstitutionMatrix,
     decode_seq,
     encode_seq,
+)
+from cse305_parallel_sequence_alignment_tpu.api import (
+    align,
+    align_pairs,
+    score_pairs,
 )
 
 __version__ = "0.1.0"
@@ -32,7 +38,11 @@ __all__ = [
     "NEG_INF",
     "AlignmentResult",
     "ScoringParams",
+    "SubstitutionMatrix",
     "encode_seq",
     "decode_seq",
+    "align",
+    "align_pairs",
+    "score_pairs",
     "__version__",
 ]
