@@ -145,10 +145,12 @@ class PartitionedAligner:
     """
 
     params: ScoringParams = ScoringParams()
-    p: int = 4
+    p: int = 4  # 0 = auto: pick from mem_budget (O(m*n/p) per segment)
     parity_swap: bool = True
     bucket_quantum: int = 128
     backend: str = "auto"
+    # per-segment direction-matrix budget (bytes) used when p == 0
+    mem_budget: int = 1 << 30
     # crossing-point search fill: "rowscan" (single device), "sharded"
     # (column-sharded longseq pipeline), or "auto" (sharded once the grid
     # exceeds sharded_threshold cells)
@@ -170,13 +172,28 @@ class PartitionedAligner:
                                    start_type=start_type, mesh=self.mesh)
         return fn
 
+    def _pick_p(self, m, n):
+        """Segment count: explicit, or smallest p whose per-segment
+        traceback matrix (skew layout, ~(m/p + n/p) * (n/p) bytes) fits
+        the budget."""
+        if self.p > 0:
+            return self.p
+        p = 1
+        while p < 4096:
+            seg_m, seg_n = -(-m // p), -(-n // p)
+            if (seg_m + seg_n + 1) * (seg_n + 1) <= self.mem_budget:
+                return max(p, 1)
+            p *= 2
+        return p
+
     def partition(self, a, b):
         a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else a
         b_enc = encode_seq(b) if isinstance(b, (str, bytes)) else b
         if self.parity_swap and len(a_enc) > len(b_enc):
             a_enc, b_enc = b_enc, a_enc
         return balanced_partition(
-            a_enc, b_enc, self.p, self.params,
+            a_enc, b_enc, self._pick_p(len(a_enc), len(b_enc)),
+            self.params,
             lastrow_fn=self._lastrow_fn(len(a_enc), len(b_enc)))
 
     def align(self, a, b) -> AlignmentResult:
@@ -187,7 +204,8 @@ class PartitionedAligner:
         if self.parity_swap and a_enc.shape[0] > b_enc.shape[0]:
             a_enc, b_enc = b_enc, a_enc
         points = balanced_partition(
-            a_enc, b_enc, self.p, self.params,
+            a_enc, b_enc, self._pick_p(a_enc.shape[0], b_enc.shape[0]),
+            self.params,
             lastrow_fn=self._lastrow_fn(a_enc.shape[0], b_enc.shape[0]))
 
         # Solve all segments as one bucketed batch per (start, end) type.

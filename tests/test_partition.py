@@ -70,6 +70,20 @@ def test_partitioned_align_medium_grid():
     assert (a_cons, b_cons) == (300, 400)
 
 
+def test_auto_segment_count_memory_bounded():
+    """p=0 picks the smallest power-of-two segment count whose segment
+    traceback matrix fits the budget, and the result stays optimal."""
+    rng = np.random.default_rng(35)
+    a, b = rand_pair(rng, 120, 150)
+    # budget that forces several segments: full skew dirs would be
+    # (120+150+1)*(151) ~ 41k bytes; set 8k -> p >= 4
+    al = PartitionedAligner(p=0, mem_budget=8000)
+    assert al._pick_p(120, 150) >= 4
+    got = al.align(a, b)
+    want = oracle_align(a, b)
+    assert got.score == want.score
+
+
 def test_score_chain_evaluator():
     a, b = encode_seq("AGGA"), encode_seq("AGTGC")
     chain = [(1, 1, 1), (2, 2, 1), (0, 3, 2), (3, 4, 1), (4, 5, 1)]
