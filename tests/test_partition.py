@@ -70,6 +70,23 @@ def test_partitioned_align_medium_grid():
     assert (a_cons, b_cons) == (300, 400)
 
 
+def test_partition_agrees_with_batch_on_dataset_slices():
+    """Real dataset pairs at 2 kb: the partitioned engine's stitched
+    score must equal the direct batched engine's score."""
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    pairs = [(seqs[2][:2000], seqs[9][:2000])]
+    scores, _ = BatchAligner().score_batch(pairs)
+    got = PartitionedAligner(p=8).align(*pairs[0])
+    assert got.score == scores[0]
+
+
 def test_auto_segment_count_memory_bounded():
     """p=0 picks the smallest power-of-two segment count whose segment
     traceback matrix fits the budget, and the result stays optimal."""
