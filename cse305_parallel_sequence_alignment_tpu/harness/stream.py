@@ -113,6 +113,25 @@ class StreamRunner:
                   gcups=round(gcups(man["cells"], man["seconds"]), 3))
         return man
 
+    @staticmethod
+    def merge(out_dir, dest="scores_merged.csv"):
+        """Concatenate every host's result shard into one CSV (sorted by
+        shard then order-of-arrival — deterministic given the shards)."""
+        import glob
+
+        shards = sorted(glob.glob(os.path.join(out_dir, "scores_p*.csv")))
+        dest_path = os.path.join(out_dir, dest)
+        n = 0
+        with open(dest_path, "w") as out:
+            out.write("pair_id,score,end_table\n")
+            for shard in shards:
+                with open(shard) as f:
+                    next(f)
+                    for line in f:
+                        out.write(line)
+                        n += 1
+        return dest_path, n
+
     def _maybe_run_chunk(self, chunk_idx, chunk, man, done, out):
         mine = chunk_idx % self.process_count == self.process_index
         if not mine or chunk_idx in done:

@@ -95,6 +95,18 @@ def test_stream_resume_config_mismatch_rejected(tmp_path):
         StreamRunner(out_dir=str(tmp_path), chunk_size=2).run(iter(items))
 
 
+def test_stream_merge_shards(tmp_path):
+    rng = np.random.default_rng(45)
+    items = list(make_stream(rng, 12))
+    for p in (0, 1):
+        StreamRunner(out_dir=str(tmp_path), chunk_size=4,
+                     process_index=p, process_count=2).run(iter(items))
+    dest, n = StreamRunner.merge(str(tmp_path))
+    assert n == 12
+    rows = read_scores(dest)
+    assert len(rows) == 12
+
+
 def test_host_shard_partitions_everything():
     for count in (0, 1, 7, 16):
         for pc in (1, 2, 3, 5):
