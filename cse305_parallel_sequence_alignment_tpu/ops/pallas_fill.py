@@ -149,9 +149,9 @@ def _diag0(jj, start_type):
 
 
 def _score_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
-                  *, m, n, g, h, match, mismatch, start_type):
+                  *, m, n, nl, g, h, match, mismatch, start_type):
     block_b = bext_ref.shape[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     lbmask = lbmask_ref[...] != 0
     dsum_col = dsum_ref[:, 0:1]
@@ -159,11 +159,11 @@ def _score_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
     diag0 = _diag0(jj, start_type)
     finals0 = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
                        diag0, lbmask, dsum_col, 0)
-    neg_diag = tuple(_neg((block_b, n + 1)) for _ in range(3))
+    neg_diag = tuple(_neg((block_b, nl)) for _ in range(3))
 
     def body(d, carry):
         p, q, finals = carry
-        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        av = arev_ref[:, pl.ds(m - d + nl, nl)]
         t123, _ = _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
                              start_type, p, q, want_dirs=False)
         finals = _capture(finals, t123, lbmask, dsum_col, d)
@@ -178,24 +178,25 @@ def _score_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "n", "g", "h", "match", "mismatch", "start_type",
-                     "block_b", "interpret"))
-def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, g, h, match,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "start_type", "block_b", "interpret"))
+def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
                   mismatch, start_type, block_b, interpret):
     B = arev_pad.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
-        _score_kernel, m=m, n=n, g=float(g), h=float(h), match=float(match),
-        mismatch=float(mismatch), start_type=start_type)
+        _score_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch),
+        start_type=start_type)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -209,10 +210,10 @@ def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, g, h, match,
 
 def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
                  dirs_ref, fin_ref, state, fin_acc,
-                 *, m, n, g, h, match, mismatch, start_type, num_d):
+                 *, m, n, nl, g, h, match, mismatch, start_type, num_d):
     block_b = bext_ref.shape[0]
     d = pl.program_id(1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     lbmask = lbmask_ref[...] != 0
     dsum_col = dsum_ref[:, 0:1]
@@ -222,9 +223,9 @@ def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
     def _():
         t1, t2, t3 = _diag0(jj, start_type)
         state[0, 0], state[0, 1], state[0, 2] = t1, t2, t3
-        neg = _neg((block_b, n + 1))
+        neg = _neg((block_b, nl))
         state[1, 0], state[1, 1], state[1, 2] = neg, neg, neg
-        dirs_ref[0] = jnp.zeros((block_b, n + 1), jnp.uint8)
+        dirs_ref[0] = jnp.zeros((block_b, nl), jnp.uint8)
         f = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
                      (t1, t2, t3), lbmask, dsum_col, 0)
         fin_acc[0], fin_acc[1], fin_acc[2] = f
@@ -235,7 +236,7 @@ def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
         # as the destination: ping-pong, no copies).
         p = (state[1 - slot, 0], state[1 - slot, 1], state[1 - slot, 2])
         q = (state[slot, 0], state[slot, 1], state[slot, 2])
-        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        av = arev_ref[:, pl.ds(m - d + nl, nl)]
         t123, packed = _diag_step(d, av, b_ext, jj, m, g, h, match,
                                   mismatch, start_type, p, q,
                                   want_dirs=True)
@@ -254,41 +255,42 @@ def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "n", "g", "h", "match", "mismatch", "start_type",
-                     "block_b", "interpret"))
-def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, g, h, match,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "start_type", "block_b", "interpret"))
+def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
                  mismatch, start_type, block_b, interpret):
     B = arev_pad.shape[0]
     num_d = m + n + 1
     grid = (B // block_b, num_d)
     kernel = functools.partial(
-        _dirs_kernel, m=m, n=n, g=float(g), h=float(h), match=float(match),
-        mismatch=float(mismatch), start_type=start_type, num_d=num_d)
+        _dirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch),
+        start_type=start_type, num_d=num_d)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b, d: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b, d: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, n + 1), lambda b, d: (d, b, 0),
+            pl.BlockSpec((1, block_b, nl), lambda b, d: (d, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_d, B, n + 1), jnp.uint8),
+            jax.ShapeDtypeStruct((num_d, B, nl), jnp.uint8),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, block_b, n + 1), jnp.float32),
+            pltpu.VMEM((2, 3, block_b, nl), jnp.float32),
             pltpu.VMEM((3, block_b, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -296,23 +298,33 @@ def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, g, h, match,
 
 
 def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
-    """Host-side packing: reversed-padded A, extended B, masks, batch pad."""
+    """Host-side packing: reversed-padded A, extended B, masks, batch pad.
+
+    The lane dimension is padded to a multiple of 128 (``nl``) so every
+    vector op runs on full tiles; lanes beyond n are never interior
+    (ii = d - jj goes negative there only after jj > n... they are
+    excluded by the jj <= n masking that ``interior`` implies via
+    ii >= 1 & jj >= 1 & ii <= m along real diagonals, and the fvec
+    compare sees PAD_A vs PAD_B). Kernels index with the padded width;
+    consumers read only columns 0..n.
+    """
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
     n = b_enc.shape[1]
+    nl = -(-(n + 1) // 128) * 128
     Bp = -(-B // block_b) * block_b
 
-    arev_pad = np.full((Bp, m + 2 * (n + 1)), PAD_A, np.uint8)
-    arev_pad[:B, n + 1: n + 1 + m] = a_enc[:, ::-1]
-    b_ext = np.full((Bp, n + 1), PAD_B, np.uint8)
-    b_ext[:B, 1:] = b_enc
-    lbmask = np.zeros((Bp, n + 1), np.uint8)
+    arev_pad = np.full((Bp, m + 2 * nl), PAD_A, np.uint8)
+    arev_pad[:B, nl: nl + m] = a_enc[:, ::-1]
+    b_ext = np.full((Bp, nl), PAD_B, np.uint8)
+    b_ext[:B, 1: n + 1] = b_enc
+    lbmask = np.zeros((Bp, nl), np.uint8)
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
     dsum = np.full((Bp, 128), -1, np.int32)
     dsum[:B] = (np.asarray(len_a, np.int64)
                 + np.asarray(len_b, np.int64))[:, None].astype(np.int32)
-    return arev_pad, b_ext, lbmask, dsum, B, m, n
+    return arev_pad, b_ext, lbmask, dsum, B, m, n, nl
 
 
 def _default_interpret(interpret):
@@ -325,12 +337,12 @@ def pallas_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
                        mismatch=0.0, start_type=-1, block_b=DEF_BLOCK_B,
                        interpret=None):
     """Batched score-only fill. Returns (B, 3) final-cell (T1, T2, T3)."""
-    arev_pad, b_ext, lbmask, dsum, B, m, n = _prep_inputs(
+    arev_pad, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_score(
-        arev_pad, b_ext, lbmask, dsum, m=m, n=n, g=g, h=h, match=match,
-        mismatch=mismatch, start_type=start_type, block_b=block_b,
-        interpret=_default_interpret(interpret))
+        arev_pad, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
+        match=match, mismatch=mismatch, start_type=start_type,
+        block_b=block_b, interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :3]
 
 
@@ -341,10 +353,10 @@ def pallas_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
 
     Returns (finals (B, 3), dirs (m+n+1, B, n+1) uint8); cell (i, j) of
     pair b is dirs[i+j, b, j]."""
-    arev_pad, b_ext, lbmask, dsum, B, m, n = _prep_inputs(
+    arev_pad, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_dirs(
-        arev_pad, b_ext, lbmask, dsum, m=m, n=n, g=g, h=h, match=match,
-        mismatch=mismatch, start_type=start_type, block_b=block_b,
-        interpret=_default_interpret(interpret))
+        arev_pad, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
+        match=match, mismatch=mismatch, start_type=start_type,
+        block_b=block_b, interpret=_default_interpret(interpret))
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

@@ -99,23 +99,23 @@ def _sw_update_best(best, t1, jj, d, la_col, lb_col):
 
 
 def _sw_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
-                     *, m, n, g, h, match, mismatch):
+                     *, m, n, nl, g, h, match, mismatch):
     block_b = bext_ref.shape[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     la_col = la_ref[:, 0:1].astype(jnp.float32)
     lb_col = lb_ref[:, 0:1].astype(jnp.float32)
 
     zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
-    diag0 = (zero_at0, _neg((block_b, n + 1)), _neg((block_b, n + 1)))
-    neg_diag = tuple(_neg((block_b, n + 1)) for _ in range(3))
+    diag0 = (zero_at0, _neg((block_b, nl)), _neg((block_b, nl)))
+    neg_diag = tuple(_neg((block_b, nl)) for _ in range(3))
     best0 = (jnp.zeros((block_b, 1), jnp.float32),
              jnp.zeros((block_b, 1), jnp.float32),
              jnp.zeros((block_b, 1), jnp.float32))
 
     def body(d, carry):
         p, q, best = carry
-        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        av = arev_ref[:, pl.ds(m - d + nl, nl)]
         t123, _ = _sw_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
                                 p, q, want_dirs=False)
         best = _sw_update_best(best, t123[0], jj, d, la_col, lb_col)
@@ -129,14 +129,14 @@ def _sw_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "n", "g", "h", "match", "mismatch", "block_b",
-                     "interpret"))
-def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "block_b", "interpret"))
+def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                      mismatch, block_b, interpret):
     B = arev_pad.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
-        _sw_score_kernel, m=m, n=n, g=float(g), h=float(h),
+        _sw_score_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch))
     return pl.pallas_call(
         kernel,
@@ -144,7 +144,7 @@ def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
         in_specs=[
             pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -160,10 +160,10 @@ def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
 
 def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
                     dirs_ref, fin_ref, state, best_acc,
-                    *, m, n, g, h, match, mismatch, num_d):
+                    *, m, n, nl, g, h, match, mismatch, num_d):
     block_b = bext_ref.shape[0]
     d = pl.program_id(1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     la_col = la_ref[:, 0:1].astype(jnp.float32)
     lb_col = lb_ref[:, 0:1].astype(jnp.float32)
@@ -172,10 +172,10 @@ def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
     @pl.when(d == 0)
     def _():
         zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
-        neg = _neg((block_b, n + 1))
+        neg = _neg((block_b, nl))
         state[0, 0], state[0, 1], state[0, 2] = zero_at0, neg, neg
         state[1, 0], state[1, 1], state[1, 2] = neg, neg, neg
-        dirs_ref[0] = jnp.zeros((block_b, n + 1), jnp.uint8)
+        dirs_ref[0] = jnp.zeros((block_b, nl), jnp.uint8)
         z = jnp.zeros((block_b, 1), jnp.float32)
         best_acc[0], best_acc[1], best_acc[2] = z, z, z
 
@@ -183,7 +183,7 @@ def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
     def _():
         p = (state[1 - slot, 0], state[1 - slot, 1], state[1 - slot, 2])
         q = (state[slot, 0], state[slot, 1], state[slot, 2])
-        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        av = arev_ref[:, pl.ds(m - d + nl, nl)]
         t123, packed = _sw_diag_step(d, av, b_ext, jj, m, g, h, match,
                                      mismatch, p, q, want_dirs=True)
         state[slot, 0], state[slot, 1], state[slot, 2] = t123
@@ -202,15 +202,15 @@ def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "n", "g", "h", "match", "mismatch", "block_b",
-                     "interpret"))
-def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "block_b", "interpret"))
+def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                     mismatch, block_b, interpret):
     B = arev_pad.shape[0]
     num_d = m + n + 1
     grid = (B // block_b, num_d)
     kernel = functools.partial(
-        _sw_dirs_kernel, m=m, n=n, g=float(g), h=float(h),
+        _sw_dirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), num_d=num_d)
     return pl.pallas_call(
         kernel,
@@ -218,7 +218,7 @@ def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
         in_specs=[
             pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b, d: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -226,17 +226,17 @@ def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, n + 1), lambda b, d: (d, b, 0),
+            pl.BlockSpec((1, block_b, nl), lambda b, d: (d, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_d, B, n + 1), jnp.uint8),
+            jax.ShapeDtypeStruct((num_d, B, nl), jnp.uint8),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, block_b, n + 1), jnp.float32),
+            pltpu.VMEM((2, 3, block_b, nl), jnp.float32),
             pltpu.VMEM((3, block_b, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -244,31 +244,35 @@ def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
 
 
 def _prep_sw_inputs(a_enc, b_enc, len_a, len_b, block_b):
+    """Lane dim padded to a 128 multiple (``nl``); lanes beyond each
+    pair's len_b are excluded from best-tracking by the explicit length
+    masks, so the padding is inert."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
     n = b_enc.shape[1]
+    nl = -(-(n + 1) // 128) * 128
     Bp = -(-B // block_b) * block_b
 
-    arev_pad = np.full((Bp, m + 2 * (n + 1)), PAD_A, np.uint8)
-    arev_pad[:B, n + 1: n + 1 + m] = a_enc[:, ::-1]
-    b_ext = np.full((Bp, n + 1), PAD_B, np.uint8)
-    b_ext[:B, 1:] = b_enc
+    arev_pad = np.full((Bp, m + 2 * nl), PAD_A, np.uint8)
+    arev_pad[:B, nl: nl + m] = a_enc[:, ::-1]
+    b_ext = np.full((Bp, nl), PAD_B, np.uint8)
+    b_ext[:B, 1: n + 1] = b_enc
     la = np.zeros((Bp, 128), np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     lb = np.zeros((Bp, 128), np.int32)
     lb[:B] = np.asarray(len_b, np.int32)[:, None]
-    return arev_pad, b_ext, la, lb, B, m, n
+    return arev_pad, b_ext, la, lb, B, m, n, nl
 
 
 def pallas_sw_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                           match=2.0, mismatch=-1.0, block_b=DEF_BLOCK_B,
                           interpret=None):
     """Batched local scores. Returns (B, 3): [best, end_i, end_j]."""
-    arev_pad, b_ext, la, lb, B, m, n = _prep_sw_inputs(
+    arev_pad, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_sw_score(
-        arev_pad, b_ext, la, lb, m=m, n=n, g=g, h=h, match=match,
+        arev_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :3]
@@ -280,10 +284,10 @@ def pallas_sw_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     """Batched local fill emitting skew-T packed directions.
 
     Returns (best (B, 3), dirs (m+n+1, B, n+1) uint8)."""
-    arev_pad, b_ext, la, lb, B, m, n = _prep_sw_inputs(
+    arev_pad, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_sw_dirs(
-        arev_pad, b_ext, la, lb, m=m, n=n, g=g, h=h, match=match,
+        arev_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

@@ -108,16 +108,16 @@ def _sg_update_best(best, t123, jj, d, la_col, lb_col):
 
 
 def _sg_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
-                     *, m, n, g, h, match, mismatch):
+                     *, m, n, nl, g, h, match, mismatch):
     block_b = bext_ref.shape[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, n + 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     la_col = la_ref[:, 0:1].astype(jnp.float32)
     lb_col = lb_ref[:, 0:1].astype(jnp.float32)
 
     zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
-    diag0 = (zero_at0, _neg((block_b, n + 1)), _neg((block_b, n + 1)))
-    neg_diag = tuple(_neg((block_b, n + 1)) for _ in range(3))
+    diag0 = (zero_at0, _neg((block_b, nl)), _neg((block_b, nl)))
+    neg_diag = tuple(_neg((block_b, nl)) for _ in range(3))
     best0 = (jnp.full((block_b, 1), jnp.float32(NEG_INF)),
              jnp.ones((block_b, 1), jnp.float32),
              jnp.zeros((block_b, 1), jnp.float32))
@@ -125,7 +125,7 @@ def _sg_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
 
     def body(d, carry):
         p, q, best = carry
-        av = arev_ref[:, pl.ds(m - d + n + 1, n + 1)]
+        av = arev_ref[:, pl.ds(m - d + nl, nl)]
         t123, _ = _sg_diag_step(d, av, b_ext, jj, m, g, h, match,
                                 mismatch, p, q, want_dirs=False)
         best = _sg_update_best(best, t123, jj, d, la_col, lb_col)
@@ -139,14 +139,14 @@ def _sg_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "n", "g", "h", "match", "mismatch", "block_b",
-                     "interpret"))
-def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "block_b", "interpret"))
+def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                      mismatch, block_b, interpret):
     B = arev_pad.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
-        _sg_score_kernel, m=m, n=n, g=float(g), h=float(h),
+        _sg_score_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch))
     return pl.pallas_call(
         kernel,
@@ -154,7 +154,7 @@ def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, g, h, match,
         in_specs=[
             pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, n + 1), lambda b: (b, 0),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -173,10 +173,10 @@ def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
                                   block_b=DEF_BLOCK_B, interpret=None):
     """Batched semi-global scores. Returns (B, 4): [score, end_table,
     end_i, end_j]."""
-    arev_pad, b_ext, la, lb, B, m, n = _prep_sw_inputs(
+    arev_pad, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_sg_score(
-        arev_pad, b_ext, la, lb, m=m, n=n, g=g, h=h, match=match,
+        arev_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :4]
