@@ -117,6 +117,10 @@ class BatchAligner:
 
     def _finals(self, a, b, la, lb):
         """(B, 3) final-cell values for a padded bucket."""
+        if self.backend == "pallas_rowscan":
+            from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
+                import pallas_rowscan_score_batch
+            return pallas_rowscan_score_batch(a, b, la, lb, **self._kw())
         if self.matrix is not None:
             from cse305_parallel_sequence_alignment_tpu.ops.wavefront \
                 import wavefront_score_batch_matrix

@@ -297,6 +297,137 @@ def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
     )(arev_pad, b_ext, lbmask, dsum)
 
 
+def _lane_prefix_max(x, nl):
+    """Inclusive prefix max over lanes via log2(nl) shift-max sweeps."""
+    s = 1
+    while s < nl:
+        shifted = jnp.concatenate(
+            [_neg(x.shape[:-1] + (s,)), x[..., :-s]], axis=-1)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
+                    *, m, n, nl, g, h, match, mismatch, start_type):
+    """Row-sweep score kernel: m steps of (block_b, nl) work with the
+    prefix-max T2 linearization (reference P2) done in-kernel by
+    log-shift sweeps. Unlike the diagonal kernel there is no wavefront
+    ramp waste — every step's lanes are real columns — at the cost of
+    ~log2(nl) extra max ops per row. The better of the two on hardware
+    is an empirical question (backend="pallas_rowscan" to A/B)."""
+    block_b = bext_ref.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    b_ext = bext_ref[...]
+    lbmask = lbmask_ref[...] != 0
+    la_col = la_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    lane0 = jj == 0
+    jg = gf * jj.astype(jnp.float32)
+
+    # row 0 boundary (core.boundary_row0 closed form)
+    corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+    corner2 = 0.0 if start_type == -2 else NEG_INF
+    corner3 = 0.0 if start_type == -3 else NEG_INF
+    r1 = jnp.where(lane0, jnp.float32(corner1), neg_inf)
+    r2 = jnp.where(lane0, jnp.float32(corner2),
+                   _row0_t2(jj, gf, hf, start_type))
+    r3 = jnp.where(lane0, jnp.float32(corner3), neg_inf)
+
+    def pick(t123):
+        return [jnp.max(jnp.where(lbmask, t, neg_inf), axis=-1,
+                        keepdims=True) for t in t123]
+
+    finals0 = tuple(
+        jnp.where(la_col == 0, p, _neg((block_b, 1)))
+        for p in pick((r1, r2, r3)))
+
+    def body(i, carry):
+        (p1, p2, p3), finals = carry
+        a_col = a_ref[:, pl.ds(i - 1, 1)]
+        fb = jnp.where(b_ext == a_col, jnp.float32(match),
+                       jnp.float32(mismatch))
+        d1 = _shift_right_neg(p1)
+        d2 = _shift_right_neg(p2)
+        d3 = _shift_right_neg(p3)
+        t1 = fb + jnp.maximum(jnp.maximum(d1, d2), d3)
+        t3 = jnp.maximum(jnp.maximum(p1 - gf - hf, p2 - gf - hf),
+                         p3 - gf)
+        t1 = jnp.where(lane0, neg_inf, t1)
+        t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
+        m13 = _shift_right_neg(jnp.maximum(t1, t3))
+        omega = jg + m13 - gf - hf  # lane 0: -inf (T2 col-0 boundary)
+        pm = _lane_prefix_max(omega, nl)
+        t2 = jnp.where(lane0, neg_inf, pm - jg)
+        cap = la_col == i
+        finals = tuple(
+            jnp.where(cap, p, f)
+            for p, f in zip(pick((t1, t2, t3)), finals))
+        return ((t1, t2, t3), finals)
+
+    _, finals = jax.lax.fori_loop(1, m + 1, body, ((r1, r2, r3), finals0))
+    out_ref[...] = jnp.concatenate(
+        list(finals) + [_neg((block_b, 125))], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "start_type", "block_b", "interpret"))
+def _pallas_rowscan(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
+                    mismatch, start_type, block_b, interpret):
+    B = a_pad.shape[0]
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _rowscan_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch),
+        start_type=start_type)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        interpret=interpret,
+    )(a_pad, b_ext, lbmask, la)
+
+
+def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
+                               match=1.0, mismatch=0.0, start_type=-1,
+                               block_b=DEF_BLOCK_B, interpret=None):
+    """Batched score-only row-sweep fill. Returns (B, 3) finals."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    nl = -(-(n + 1) // 128) * 128
+    Bp = -(-B // block_b) * block_b
+    a_pad = np.full((Bp, max(m, 1)), PAD_A, np.uint8)
+    a_pad[:B, :m] = a_enc
+    b_ext = np.full((Bp, nl), PAD_B, np.uint8)
+    b_ext[:B, 1: n + 1] = b_enc
+    lbmask = np.zeros((Bp, nl), np.uint8)
+    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    la = np.full((Bp, 128), -1, np.int32)
+    la[:B] = np.asarray(len_a, np.int32)[:, None]
+    out = _pallas_rowscan(
+        a_pad, b_ext, lbmask, la, m=m, n=n, nl=nl, g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    return np.asarray(out)[:B, :3]
+
+
 def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
     """Host-side packing: reversed-padded A, extended B, masks, batch pad.
 

@@ -49,6 +49,21 @@ def test_pallas_score_matches_wavefront(start):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("start", [-1, -2, 3])
+def test_pallas_rowscan_matches_wavefront(start):
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowscan_score_batch,
+    )
+    rng = np.random.default_rng(13)
+    a, b, la, lb, _ = make_batch(rng, 9, 17, 21)
+    got = pallas_rowscan_score_batch(a, b, la, lb, start_type=start,
+                                     block_b=8, interpret=True)
+    want = np.asarray(wavefront_score_batch(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+        start_type=start))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_dirs_traceback_matches_oracle():
     rng = np.random.default_rng(12)
     a, b, la, lb, pairs = make_batch(rng, 6, 12, 15)
