@@ -57,6 +57,7 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
 
     ga = BatchAligner()
     la_ = LocalBatchAligner()
+    rs = BatchAligner(backend="pallas_rowscan")
     for L in lengths:
         for B in batches:
             a, b, laa, lbb = _rand_batch(rng, B, L, L)
@@ -64,6 +65,12 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
             emit({"mode": "global_score", "len": L, "batch": B,
                   "seconds": round(dt, 4),
                   "gcups": round(gcups(B * L * L, dt), 3)})
+            if backend == "tpu":  # hardware A/B of the two score kernels
+                dt, _ = _time_call(
+                    lambda: rs._finals(a, b, laa, lbb), iters)
+                emit({"mode": "global_score_rowscan_kernel", "len": L,
+                      "batch": B, "seconds": round(dt, 4),
+                      "gcups": round(gcups(B * L * L, dt), 3)})
             dt, _ = _time_call(lambda: la_._best(a, b, laa, lbb), iters)
             emit({"mode": "local_score", "len": L, "batch": B,
                   "seconds": round(dt, 4),

@@ -92,6 +92,11 @@ def main():
         check(f"pallas_score start={st}", got, w)
     finals, dirs = pallas_dirs_batch(a, b, la, lb)
     check("pallas_dirs finals", finals, want)
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowscan_score_batch,
+    )
+    got_rs2 = pallas_rowscan_score_batch(a, b, la, lb)
+    check("pallas_rowscan_score", got_rs2, want)
 
     g, h, match, mismatch = LOCAL_PARAMS.astuple()
     want_sw = np.asarray(sw_score_batch(
