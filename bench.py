@@ -49,17 +49,26 @@ def _bench(batch=256, m=2048, n=2048, iters=3):
     b = rng.integers(65, 69, size=(batch, n)).astype(np.uint8)
     la = np.full((batch,), m, np.int32)
     lb = np.full((batch,), n, np.int32)
-
-    aligner = BatchAligner()
-    # warmup (compile)
-    aligner._finals(a, b, la, lb)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = aligner._finals(a, b, la, lb)
-    dt = (time.perf_counter() - t0) / iters
-    assert np.all(np.isfinite(np.asarray(out)[:, 0]))
     cells = batch * m * n
-    return cells / dt / 1e9, jax.default_backend()
+
+    def measure(aligner):
+        out = aligner._finals(a, b, la, lb)  # warmup (compile)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = aligner._finals(a, b, la, lb)
+        dt = (time.perf_counter() - t0) / iters
+        assert np.all(np.isfinite(np.asarray(out)[:, 0]))
+        return cells / dt / 1e9
+
+    results = {"wavefront_kernel": measure(BatchAligner())}
+    if jax.default_backend() == "tpu":
+        try:  # A/B the two score-kernel designs; report the faster
+            results["rowscan_kernel"] = measure(
+                BatchAligner(backend="pallas_rowscan"))
+        except Exception:
+            pass
+    best = max(results, key=results.get)
+    return results[best], f"{jax.default_backend()}/{best}"
 
 
 def child(batch):
