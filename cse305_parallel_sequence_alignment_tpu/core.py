@@ -78,6 +78,13 @@ class AlignmentResult:
     aligned_b: str | None = None
     end_table: int | None = None
 
+    def cigar(self) -> str:
+        """SAM CIGAR of the chain (M/I/D; A is the query)."""
+        from cse305_parallel_sequence_alignment_tpu.ops.cigar import (
+            chain_to_cigar,
+        )
+        return chain_to_cigar(self.chain or [])
+
 
 @dataclasses.dataclass(frozen=True)
 class SubstitutionMatrix:
