@@ -243,6 +243,32 @@ def cmd_perf(args):
     return 0
 
 
+def cmd_longscore(args):
+    """Score one (possibly huge) pair via the column-sharded pipeline."""
+    cfg = config_from_args(args)
+    a, b = _resolve_pair(args, cfg)
+    from cse305_parallel_sequence_alignment_tpu.core import (
+        end_table_choice,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
+        longseq_score,
+    )
+    import jax
+    t0 = time.perf_counter()
+    finals = longseq_score(a, b, cfg.params, row_chunk=args.row_chunk)
+    dt = time.perf_counter() - t0
+    table, score = end_table_choice(
+        float(finals[0]), float(finals[1]), float(finals[2]), -1, cfg.h)
+    print(json.dumps({
+        "score": score, "end_table": table,
+        "m": len(a), "n": len(b),
+        "devices": jax.device_count(),
+        "seconds": round(dt, 3),
+        "gcups": round(len(a) * len(b) / dt / 1e9, 3),
+    }))
+    return 0
+
+
 def cmd_info(args):
     import jax
     print(json.dumps({
@@ -320,6 +346,13 @@ def main(argv=None):
     p.add_argument("--stream-dir", default="stream_out")
     add_config_args(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("longscore",
+                       help="column-sharded score of one huge pair")
+    _add_pair_args(p)
+    p.add_argument("--row-chunk", type=int, default=256)
+    add_config_args(p)
+    p.set_defaults(fn=cmd_longscore)
 
     p = sub.add_parser("parity",
                        help="byte-diff vs the repaired reference binary")
