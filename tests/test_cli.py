@@ -34,6 +34,17 @@ def test_cli_info(capsys):
     assert rec["backend"] == "cpu" and len(rec["devices"]) == 8
 
 
+def test_cli_longscore(capsys):
+    assert main(["longscore", "--a", "ACGTACGTAC", "--b", "ACGTACCTAC",
+                 "--row-chunk", "4"]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    from cse305_parallel_sequence_alignment_tpu.models.oracle import (
+        oracle_align,
+    )
+    assert rec["score"] == oracle_align("ACGTACGTAC", "ACGTACCTAC").score
+    assert rec["devices"] == 8
+
+
 def test_cli_experiment_input_size(tmp_path, capsys):
     assert main(["experiment", "input-size", "--out-dir", str(tmp_path),
                  "--test-pairs", "2"]) == 0
