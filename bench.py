@@ -76,18 +76,28 @@ def child(batch):
     print(json.dumps({"gcups": gcups, "backend": backend}))
 
 
+def _run_child(batch, timeout, env=None):
+    full_env = dict(os.environ, **(env or {}))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), str(batch), "--child"],
+        capture_output=True, timeout=timeout, check=True, env=full_env)
+    rec = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    return rec["gcups"], rec["backend"]
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(batch),
-             "--child"],
-            capture_output=True, timeout=WATCHDOG_S, check=True)
-        rec = json.loads(out.stdout.decode().strip().splitlines()[-1])
-        gcups, backend = rec["gcups"], rec["backend"]
+        gcups, backend = _run_child(batch, WATCHDOG_S)
         err = None
-    except Exception as e:  # timeout / crash: emit a valid zero record
-        gcups, backend, err = 0.0, "unavailable", type(e).__name__
+    except Exception as e:  # device wedged/crashed: measure on CPU host
+        try:
+            gcups, backend = _run_child(
+                min(batch, 16), max(WATCHDOG_S // 2, 300),
+                env={"JAX_PLATFORMS": "cpu"})
+            err = f"device unavailable ({type(e).__name__}); host fallback"
+        except Exception as e2:
+            gcups, backend, err = 0.0, "unavailable", type(e2).__name__
     line = {
         "metric": f"batched 2kb-pair Gotoh fill, 1 chip ({backend})",
         "value": round(gcups, 3),
