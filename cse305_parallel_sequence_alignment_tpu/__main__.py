@@ -291,6 +291,16 @@ def _add_pair_args(p):
 
 
 def main(argv=None):
+    # honor an explicit CPU platform request even when a site hook
+    # pre-registered a TPU platform override (see CLAUDE.md)
+    import os
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     parser = argparse.ArgumentParser(
         prog="cse305_parallel_sequence_alignment_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
