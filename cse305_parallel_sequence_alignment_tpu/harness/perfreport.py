@@ -76,6 +76,22 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
                   "seconds": round(dt, 4),
                   "gcups": round(gcups(B * L * L, dt), 3)})
 
+    # banded fast path: 2 kb pairs, W = 257-lane band (2 padded tiles)
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_banded import (
+        pallas_banded_score_batch,
+    )
+    L, B = max(lengths), min(batches)
+    a, b, laa, lbb = _rand_batch(rng, B, L, L)
+    try:
+        dt, _ = _time_call(
+            lambda: pallas_banded_score_batch(a, b, laa, lbb, 128, 128),
+            iters)
+        emit({"mode": "banded_score_W257", "len": L, "batch": B,
+              "seconds": round(dt, 4),
+              "gcups_band_cells": round(gcups(B * L * 257, dt), 3)})
+    except Exception as e:  # noqa: BLE001
+        emit({"mode": "banded_score_W257", "error": str(e)})
+
     if include_longseq:
         from cse305_parallel_sequence_alignment_tpu.core import (
             ScoringParams,

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for the banded fill (ops/banded.py).
+
+The most TPU-friendly engine in the framework: the whole working set is
+W lanes (one or two 128-lane tiles for typical bands), m steps, zero
+wavefront ramp waste. Band lane parameterization as in ops/banded.py
+(window shifts one column per row, diag = same lane, up = lane + 1);
+the in-window T2 prefix-max runs as log-shift sweeps.
+
+Score-only (the banded traceback path stays on the XLA fill + host walk;
+its dirs matrix is only m x W bytes). Batched over equal-shape pairs with
+per-pair true lengths for the final-cell capture.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cse305_parallel_sequence_alignment_tpu.core import NEG_INF
+from cse305_parallel_sequence_alignment_tpu.ops.banded import band_check
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+    DEF_BLOCK_B,
+    _default_interpret,
+    _lane_prefix_max,
+    _neg,
+    _row0_t2,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
+
+
+def _banded_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
+                   *, m, n, w_lo, W, Wl, g, h, match, mismatch,
+                   start_type):
+    block_b = bext_ref.shape[0]
+    ll = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wl), 1)
+    la_col = la_ref[:, 0:1]
+    lb_col = lb_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+
+    def col0_t3(i):
+        if start_type == -3:
+            return -gf * jnp.float32(i)
+        if start_type in (1, 2):
+            return neg_inf
+        return -hf - gf * jnp.float32(i)
+
+    # row 0: lanes l with column j = -w_lo + l in [0, n]
+    j_row0 = ll - w_lo
+    in0 = (j_row0 >= 0) & (j_row0 <= n) & (ll < W)
+    corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+    corner2 = 0.0 if start_type == -2 else NEG_INF
+    corner3 = 0.0 if start_type == -3 else NEG_INF
+    at_c = j_row0 == 0
+    r1 = jnp.where(in0 & at_c, jnp.float32(corner1), neg_inf)
+    r2 = jnp.where(
+        in0, jnp.where(at_c, jnp.float32(corner2),
+                       _row0_t2(j_row0, gf, hf, start_type)), neg_inf)
+    r3 = jnp.where(in0 & at_c, jnp.float32(corner3), neg_inf)
+
+    def capture(finals, t123, i):
+        j_lane = i - w_lo + ll
+        capm = (la_col == i) & (j_lane == lb_col) & (ll < W)
+        picks = [jnp.max(jnp.where(capm, t, neg_inf), axis=-1,
+                         keepdims=True) for t in t123]
+        cap = la_col == i
+        return tuple(jnp.where(cap, p, f)
+                     for p, f in zip(picks, finals))
+
+    finals0 = capture(tuple(_neg((block_b, 1)) for _ in range(3)),
+                      (r1, r2, r3), 0)
+
+    def body(i, carry):
+        (p1, p2, p3), finals = carry
+        j_lane = i - w_lo + ll
+        inband = (j_lane >= 1) & (j_lane <= n) & (ll < W)
+        on_col0 = (j_lane == 0) & (ll < W)
+        jf = j_lane.astype(jnp.float32)
+
+        bv = bext_ref[:, pl.ds(i - w_lo + Wl, Wl)]
+        a_col = a_ref[:, pl.ds(i - 1, 1)]
+        fb = jnp.where(bv == a_col, jnp.float32(match),
+                       jnp.float32(mismatch))
+
+        u1 = jnp.concatenate([p1[:, 1:], _neg((block_b, 1))], axis=-1)
+        u2 = jnp.concatenate([p2[:, 1:], _neg((block_b, 1))], axis=-1)
+        u3 = jnp.concatenate([p3[:, 1:], _neg((block_b, 1))], axis=-1)
+
+        t1 = fb + jnp.maximum(jnp.maximum(p1, p2), p3)
+        t3 = jnp.maximum(jnp.maximum(u1 - gf - hf, u2 - gf - hf),
+                         u3 - gf)
+        t1 = jnp.where(inband, t1, neg_inf)
+        t3 = jnp.where(on_col0, col0_t3(i),
+                       jnp.where(inband, t3, neg_inf))
+
+        m13 = jnp.maximum(t1, t3)
+        m_prev = jnp.concatenate([_neg((block_b, 1)), m13[:, :-1]],
+                                 axis=-1)
+        omega = jnp.where(inband, jf * gf + m_prev - gf - hf, neg_inf)
+        pm = _lane_prefix_max(omega, Wl)
+        t2 = jnp.where(inband, pm - jf * gf, neg_inf)
+
+        finals = capture(finals, (t1, t2, t3), i)
+        return ((t1, t2, t3), finals)
+
+    _, finals = jax.lax.fori_loop(1, m + 1, body, ((r1, r2, r3), finals0))
+    out_ref[...] = jnp.concatenate(
+        list(finals) + [_neg((block_b, 125))], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "w_lo", "W", "Wl", "g", "h", "match",
+                     "mismatch", "start_type", "block_b", "interpret"))
+def _pallas_banded(a_pad, b_ext, la, lb, *, m, n, w_lo, W, Wl, g, h,
+                   match, mismatch, start_type, block_b, interpret):
+    B = a_pad.shape[0]
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _banded_kernel, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=float(g),
+        h=float(h), match=float(match), mismatch=float(mismatch),
+        start_type=start_type)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, b_ext.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        interpret=interpret,
+    )(a_pad, b_ext, la, lb)
+
+
+def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
+                              g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                              start_type=-1, block_b=DEF_BLOCK_B,
+                              interpret=None):
+    """Batched banded fill: (B, m) x (B, n) padded pairs -> (B, 3)
+    finals at each pair's (len_a, len_b). The band must cover every
+    pair's endpoints (checked)."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    la = np.asarray(len_a, np.int64)
+    lb = np.asarray(len_b, np.int64)
+    for k in range(B):
+        band_check(int(la[k]), int(lb[k]), w_lo, w_hi)
+    W = w_lo + w_hi + 1
+    Wl = -(-W // 128) * 128
+    Bp = -(-B // block_b) * block_b
+
+    a_pad = np.full((Bp, max(m, 1)), PAD_A, np.uint8)
+    a_pad[:B, :m] = a_enc
+    # b_ext[k, j + Wl] = B[k][j-1] for j >= 1, '-' at j == 0, PAD outside
+    width = n + 1 + 2 * Wl + 2
+    b_ext = np.full((Bp, width), PAD_B, np.uint8)
+    b_ext[:B, Wl] = ord("-")
+    b_ext[:B, Wl + 1: Wl + 1 + n] = b_enc
+    la_t = np.full((Bp, 128), -1, np.int32)
+    la_t[:B] = la[:, None].astype(np.int32)
+    lb_t = np.full((Bp, 128), -1, np.int32)
+    lb_t[:B] = lb[:, None].astype(np.int32)
+    out = _pallas_banded(
+        a_pad, b_ext, la_t, lb_t, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=g,
+        h=h, match=match, mismatch=mismatch, start_type=start_type,
+        block_b=block_b, interpret=_default_interpret(interpret))
+    return np.asarray(out)[:B, :3]

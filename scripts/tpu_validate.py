@@ -98,6 +98,20 @@ def main():
     got_rs2 = pallas_rowscan_score_batch(a, b, la, lb)
     check("pallas_rowscan_score", got_rs2, want)
 
+    from cse305_parallel_sequence_alignment_tpu.ops.banded import (
+        banded_score,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_banded import (
+        pallas_banded_score_batch,
+    )
+    wband = max(bm, bn)  # full-coverage band: equals unrestricted DP
+    got_band = pallas_banded_score_batch(a, b, la, lb, wband, wband)
+    kcheck = range(0, 8)  # XLA reference compiles per distinct shape
+    want_band = np.stack([
+        banded_score(a[k, : la[k]], b[k, : lb[k]], wband, wband)
+        for k in kcheck])
+    check("pallas_banded_score", got_band[list(kcheck)], want_band)
+
     g, h, match, mismatch = LOCAL_PARAMS.astuple()
     want_sw = np.asarray(sw_score_batch(
         ja, jb, jla, jlb, g=g, h=h, match=match, mismatch=mismatch))
