@@ -25,15 +25,19 @@ from cse305_parallel_sequence_alignment_tpu.core import NEG_INF
 from cse305_parallel_sequence_alignment_tpu.ops.banded import band_check
 from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
     DEF_BLOCK_B,
+    _char_col,
     _default_interpret,
+    _emit_row,
     _lane_prefix_max,
     _neg,
+    _pack3,
     _row0_t2,
+    _unpack3,
 )
 from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
 
 
-def _banded_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
+def _banded_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref, out_ref,
                    *, m, n, w_lo, W, Wl, g, h, match, mismatch,
                    start_type):
     block_b = bext_ref.shape[0]
@@ -76,14 +80,19 @@ def _banded_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
                       (r1, r2, r3), 0)
 
     def body(i, carry):
-        (p1, p2, p3), finals = carry
+        pq, finals, bv = carry
+        p1, p2, p3 = _unpack3(pq, Wl)
         j_lane = i - w_lo + ll
         inband = (j_lane >= 1) & (j_lane <= n) & (ll < W)
         on_col0 = (j_lane == 0) & (ll < W)
         jf = j_lane.astype(jnp.float32)
 
-        bv = bext_ref[:, pl.ds(i - w_lo + Wl, Wl)]
-        a_col = a_ref[:, pl.ds(i - 1, 1)]
+        # bv[l] = b_ext[i - w_lo + Wl + l]: the window slides one column
+        # right per row, so shift left and inject the incoming character
+        # at the last lane (Mosaic forbids unaligned lane-dim slices).
+        b_in = _char_col(bext_ref, i - w_lo + 2 * Wl - 1)
+        bv = jnp.concatenate([bv[:, 1:], b_in], axis=-1)
+        a_col = _char_col(a_ref, i - 1)
         fb = jnp.where(bv == a_col, jnp.float32(match),
                        jnp.float32(mismatch))
 
@@ -106,18 +115,18 @@ def _banded_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
         t2 = jnp.where(inband, pm - jf * gf, neg_inf)
 
         finals = capture(finals, (t1, t2, t3), i)
-        return ((t1, t2, t3), finals)
+        return (_pack3((t1, t2, t3)), finals, bv)
 
-    _, finals = jax.lax.fori_loop(1, m + 1, body, ((r1, r2, r3), finals0))
-    out_ref[...] = jnp.concatenate(
-        list(finals) + [_neg((block_b, 125))], axis=-1)
+    _, finals, _ = jax.lax.fori_loop(
+        1, m + 1, body, (_pack3((r1, r2, r3)), finals0, bv0_ref[...]))
+    out_ref[...] = _emit_row(list(finals))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "w_lo", "W", "Wl", "g", "h", "match",
                      "mismatch", "start_type", "block_b", "interpret"))
-def _pallas_banded(a_pad, b_ext, la, lb, *, m, n, w_lo, W, Wl, g, h,
+def _pallas_banded(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl, g, h,
                    match, mismatch, start_type, block_b, interpret):
     B = a_pad.shape[0]
     grid = (B // block_b,)
@@ -133,6 +142,8 @@ def _pallas_banded(a_pad, b_ext, la, lb, *, m, n, w_lo, W, Wl, g, h,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, b_ext.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Wl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b: (b, 0),
@@ -142,7 +153,7 @@ def _pallas_banded(a_pad, b_ext, la, lb, *, m, n, w_lo, W, Wl, g, h,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
         interpret=interpret,
-    )(a_pad, b_ext, la, lb)
+    )(a_pad, b_ext, bv0, la, lb)
 
 
 def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
@@ -164,19 +175,25 @@ def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     Wl = -(-W // 128) * 128
     Bp = -(-B // block_b) * block_b
 
-    a_pad = np.full((Bp, max(m, 1)), PAD_A, np.uint8)
+    ma = max(-(-m // 128) * 128, 128)
+    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
     a_pad[:B, :m] = a_enc
-    # b_ext[k, j + Wl] = B[k][j-1] for j >= 1, '-' at j == 0, PAD outside
-    width = n + 1 + 2 * Wl + 2
-    b_ext = np.full((Bp, width), PAD_B, np.uint8)
+    # b_ext[k, j + Wl] = B[k][j-1] for j >= 1, '-' at j == 0, PAD outside.
+    # Width: a 128 multiple covering both the layout and the largest
+    # in-kernel character fetch index (m - w_lo + 2*Wl - 1).
+    width = max(n + 1 + 2 * Wl + 2, m - w_lo + 2 * Wl)
+    width = -(-width // 128) * 128
+    b_ext = np.full((Bp, width), int(PAD_B), np.int32)
     b_ext[:B, Wl] = ord("-")
     b_ext[:B, Wl + 1: Wl + 1 + n] = b_enc
+    # initial window (row i=0): bv0[l] = b_ext[-w_lo + Wl + l]
+    bv0 = np.ascontiguousarray(b_ext[:, Wl - w_lo: 2 * Wl - w_lo])
     la_t = np.full((Bp, 128), -1, np.int32)
     la_t[:B] = la[:, None].astype(np.int32)
     lb_t = np.full((Bp, 128), -1, np.int32)
     lb_t[:B] = lb[:, None].astype(np.int32)
     out = _pallas_banded(
-        a_pad, b_ext, la_t, lb_t, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=g,
+        a_pad, b_ext, bv0, la_t, lb_t, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=g,
         h=h, match=match, mismatch=mismatch, start_type=start_type,
         block_b=block_b, interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :3]

@@ -16,6 +16,15 @@ is one fused (block_b, n+1) VPU op-chain — this is how the reference's
 "p threads per row" (subproblem_alignment.cpp:251-327) maps onto 8x128
 vector hardware instead of fork/join.
 
+Mosaic ground rules (verified on a real v5e in this repo's validation):
+- lane-dim dynamic slices must start at provable multiples of 128, so the
+  per-diagonal window of A is carried as an in-loop shift register — one
+  new character per step, fetched from a 128-aligned chunk
+  (``pl.multiple_of``) and isolated by a masked lane-reduce;
+- sub-32-bit vector arithmetic does not lower: sequences enter the kernel
+  as int32 and packed direction bytes are computed in int32 with a single
+  ``astype(uint8)`` at the store.
+
 Scores are float32 (exact for integer-valued scoring; -inf absorbing,
 matching the reference's doubles). Direction layout is "skew-T":
 dirs[d, b, j] holds the packed byte of cell (i=d-j, j) of pair b.
@@ -47,16 +56,66 @@ def _neg(shape):
 
 
 def _first_argmax3(c1, c2, c3):
+    """Direction code (int32: uint8 math doesn't lower on Mosaic)."""
     return jnp.where(
         (c1 >= c2) & (c1 >= c3),
-        jnp.uint8(0),
-        jnp.where(c2 >= c3, jnp.uint8(1), jnp.uint8(2)),
+        0,
+        jnp.where(c2 >= c3, 1, 2),
     )
 
 
 def _shift_right_neg(x):
     """Lane shift right, filling -inf."""
     return jnp.concatenate([_neg(x.shape[:-1] + (1,)), x[..., :-1]], axis=-1)
+
+
+def _char_col(seq_ref, idx):
+    """(block_b, 1) int32 column ``seq_ref[:, idx]`` at a traced index.
+
+    Mosaic requires lane-dim dynamic-slice starts to be provable multiples
+    of 128, so load the aligned 128-lane chunk containing ``idx`` and
+    isolate the wanted lane with a masked cross-lane max (sequence codes
+    are < 256, so -1 is an absorbing filler). ``seq_ref``'s width must be
+    a 128 multiple covering ``idx``.
+    """
+    block_b = seq_ref.shape[0]
+    base = (idx // 128) * 128
+    chunk = seq_ref[:, pl.ds(pl.multiple_of(base, 128), 128)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_b, 128), 1)
+    return jnp.max(jnp.where(lane == idx - base, chunk, -1),
+                   axis=-1, keepdims=True)
+
+
+def _push_front(win, col):
+    """Shift the lane window right by one, injecting ``col`` at lane 0."""
+    return jnp.concatenate([col, win[:, :-1]], axis=-1)
+
+
+def _pack3(t123):
+    """Lane-concatenate the three DP tables into one carry array.
+
+    This libtpu's compiler SIGABRTs on kernels whose fori_loop carries
+    three or more (block_b, nl) float32 arrays (bisected on-device:
+    2 tables compile, 3 crash in jellyfish lowering regardless of the
+    ops involved), so T1/T2/T3 travel as one (block_b, 3*nl) array and
+    are split at 128-aligned static offsets inside the body.
+    """
+    return jnp.concatenate(list(t123), axis=-1)
+
+
+def _unpack3(packed, nl):
+    return (packed[:, :nl], packed[:, nl: 2 * nl], packed[:, 2 * nl:])
+
+
+def _emit_row(cols, width=128):
+    """(block_b, width) f32 with cols[k]'s value at lane k, -inf beyond."""
+    block_b = cols[0].shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_b, width), 1)
+    out = _neg((block_b, width))
+    for k, c in enumerate(cols):
+        out = jnp.where(lane == k, jnp.broadcast_to(c, (block_b, width)),
+                        out)
+    return out
 
 
 def _row0_t2(jj, g, h, start_type):
@@ -81,7 +140,13 @@ def _col0_t3(d, g, h, start_type):
 
 def _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, start_type,
                p, q, want_dirs):
-    """One anti-diagonal: p = diag d-1, q = diag d-2 -> diag d (+ dirs)."""
+    """One anti-diagonal: p = diag d-1, q = diag d-2 -> diag d (+ dirs).
+
+    ``av`` (int32) holds A's characters aligned to the diagonal:
+    av[j] = a[d-1-j] (the shift-register carry), so cell (i=d-j, j)
+    compares A[i-1] against B[j-1] exactly as the reference's f()
+    (subproblem_alignment.h:83-88).
+    """
     p1, p2, p3 = p
     q1, q2, q3 = q
     ii = d - jj
@@ -121,7 +186,7 @@ def _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, start_type,
     packed = jnp.where(
         interior,
         (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | (d3 << DIR_T3_SHIFT),
-        jnp.uint8(0),
+        0,
     )
     return (t1, t2, t3), packed
 
@@ -148,7 +213,7 @@ def _diag0(jj, start_type):
     )
 
 
-def _score_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
+def _score_kernel(a_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
                   *, m, n, nl, g, h, match, mismatch, start_type):
     block_b = bext_ref.shape[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
@@ -159,30 +224,30 @@ def _score_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
     diag0 = _diag0(jj, start_type)
     finals0 = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
                        diag0, lbmask, dsum_col, 0)
-    neg_diag = tuple(_neg((block_b, nl)) for _ in range(3))
+    av0 = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
 
     def body(d, carry):
-        p, q, finals = carry
-        av = arev_ref[:, pl.ds(m - d + nl, nl)]
+        pq, qq, finals, av = carry
+        av = _push_front(av, _char_col(a_ref, d - 1))
         t123, _ = _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
-                             start_type, p, q, want_dirs=False)
+                             start_type, _unpack3(pq, nl),
+                             _unpack3(qq, nl), want_dirs=False)
         finals = _capture(finals, t123, lbmask, dsum_col, d)
-        return (t123, p, finals)
+        return (_pack3(t123), pq, finals, av)
 
-    _, _, finals = jax.lax.fori_loop(
-        1, m + n + 1, body, (diag0, neg_diag, finals0))
-    out = jnp.concatenate(
-        list(finals) + [_neg((block_b, 125))], axis=-1)
-    out_ref[...] = out
+    _, _, finals, _ = jax.lax.fori_loop(
+        1, m + n + 1, body,
+        (_pack3(diag0), _neg((block_b, 3 * nl)), finals0, av0))
+    out_ref[...] = _emit_row(list(finals))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "start_type", "block_b", "interpret"))
-def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
+def _pallas_score(a_fwd, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
                   mismatch, start_type, block_b, interpret):
-    B = arev_pad.shape[0]
+    B = a_fwd.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
         _score_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
@@ -192,7 +257,7 @@ def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
+            pl.BlockSpec((block_b, a_fwd.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -205,11 +270,11 @@ def _pallas_score(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
         interpret=interpret,
-    )(arev_pad, b_ext, lbmask, dsum)
+    )(a_fwd, b_ext, lbmask, dsum)
 
 
-def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
-                 dirs_ref, fin_ref, state, fin_acc,
+def _dirs_kernel(a_ref, bext_ref, lbmask_ref, dsum_ref,
+                 dirs_ref, fin_ref, state, fin_acc, av_state,
                  *, m, n, nl, g, h, match, mismatch, start_type, num_d):
     block_b = bext_ref.shape[0]
     d = pl.program_id(1)
@@ -225,7 +290,8 @@ def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
         state[0, 0], state[0, 1], state[0, 2] = t1, t2, t3
         neg = _neg((block_b, nl))
         state[1, 0], state[1, 1], state[1, 2] = neg, neg, neg
-        dirs_ref[0] = jnp.zeros((block_b, nl), jnp.uint8)
+        av_state[...] = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
+        dirs_ref[0] = jnp.zeros((block_b, nl), jnp.int32).astype(jnp.uint8)
         f = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
                      (t1, t2, t3), lbmask, dsum_col, 0)
         fin_acc[0], fin_acc[1], fin_acc[2] = f
@@ -236,30 +302,29 @@ def _dirs_kernel(arev_ref, bext_ref, lbmask_ref, dsum_ref,
         # as the destination: ping-pong, no copies).
         p = (state[1 - slot, 0], state[1 - slot, 1], state[1 - slot, 2])
         q = (state[slot, 0], state[slot, 1], state[slot, 2])
-        av = arev_ref[:, pl.ds(m - d + nl, nl)]
+        av = _push_front(av_state[...], _char_col(a_ref, d - 1))
+        av_state[...] = av
         t123, packed = _diag_step(d, av, b_ext, jj, m, g, h, match,
                                   mismatch, start_type, p, q,
                                   want_dirs=True)
         state[slot, 0], state[slot, 1], state[slot, 2] = t123
-        dirs_ref[0] = packed
+        dirs_ref[0] = packed.astype(jnp.uint8)
         f = _capture((fin_acc[0], fin_acc[1], fin_acc[2]), t123, lbmask,
                      dsum_col, d)
         fin_acc[0], fin_acc[1], fin_acc[2] = f
 
     @pl.when(d == num_d - 1)
     def _():
-        fin_ref[...] = jnp.concatenate(
-            [fin_acc[0], fin_acc[1], fin_acc[2], _neg((block_b, 125))],
-            axis=-1)
+        fin_ref[...] = _emit_row([fin_acc[0], fin_acc[1], fin_acc[2]])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "start_type", "block_b", "interpret"))
-def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
+def _pallas_dirs(a_fwd, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
                  mismatch, start_type, block_b, interpret):
-    B = arev_pad.shape[0]
+    B = a_fwd.shape[0]
     num_d = m + n + 1
     grid = (B // block_b, num_d)
     kernel = functools.partial(
@@ -270,7 +335,7 @@ def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b, d: (b, 0),
+            pl.BlockSpec((block_b, a_fwd.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -292,9 +357,10 @@ def _pallas_dirs(arev_pad, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
         scratch_shapes=[
             pltpu.VMEM((2, 3, block_b, nl), jnp.float32),
             pltpu.VMEM((3, block_b, 1), jnp.float32),
+            pltpu.VMEM((block_b, nl), jnp.int32),
         ],
         interpret=interpret,
-    )(arev_pad, b_ext, lbmask, dsum)
+    )(a_fwd, b_ext, lbmask, dsum)
 
 
 def _lane_prefix_max(x, nl):
@@ -344,8 +410,9 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
         for p in pick((r1, r2, r3)))
 
     def body(i, carry):
-        (p1, p2, p3), finals = carry
-        a_col = a_ref[:, pl.ds(i - 1, 1)]
+        pq, finals = carry
+        p1, p2, p3 = _unpack3(pq, nl)
+        a_col = _char_col(a_ref, i - 1)
         fb = jnp.where(b_ext == a_col, jnp.float32(match),
                        jnp.float32(mismatch))
         d1 = _shift_right_neg(p1)
@@ -364,11 +431,11 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
         finals = tuple(
             jnp.where(cap, p, f)
             for p, f in zip(pick((t1, t2, t3)), finals))
-        return ((t1, t2, t3), finals)
+        return (_pack3((t1, t2, t3)), finals)
 
-    _, finals = jax.lax.fori_loop(1, m + 1, body, ((r1, r2, r3), finals0))
-    out_ref[...] = jnp.concatenate(
-        list(finals) + [_neg((block_b, 125))], axis=-1)
+    _, finals = jax.lax.fori_loop(1, m + 1, body,
+                                  (_pack3((r1, r2, r3)), finals0))
+    out_ref[...] = _emit_row(list(finals))
 
 
 @functools.partial(
@@ -413,11 +480,12 @@ def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     n = b_enc.shape[1]
     nl = -(-(n + 1) // 128) * 128
     Bp = -(-B // block_b) * block_b
-    a_pad = np.full((Bp, max(m, 1)), PAD_A, np.uint8)
+    ma = max(-(-m // 128) * 128, 128)
+    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
     a_pad[:B, :m] = a_enc
-    b_ext = np.full((Bp, nl), PAD_B, np.uint8)
+    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
     b_ext[:B, 1: n + 1] = b_enc
-    lbmask = np.zeros((Bp, nl), np.uint8)
+    lbmask = np.zeros((Bp, nl), np.int32)
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
@@ -429,15 +497,16 @@ def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
 
 
 def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
-    """Host-side packing: reversed-padded A, extended B, masks, batch pad.
+    """Host-side packing: forward A (int32), extended B, masks, batch pad.
 
     The lane dimension is padded to a multiple of 128 (``nl``) so every
-    vector op runs on full tiles; lanes beyond n are never interior
-    (ii = d - jj goes negative there only after jj > n... they are
-    excluded by the jj <= n masking that ``interior`` implies via
-    ii >= 1 & jj >= 1 & ii <= m along real diagonals, and the fvec
-    compare sees PAD_A vs PAD_B). Kernels index with the padded width;
-    consumers read only columns 0..n.
+    vector op runs on full tiles; lanes beyond n are never interior and
+    the fvec compare sees PAD_A vs PAD_B. Sequences are widened to int32
+    because Mosaic has no sub-32-bit vector arithmetic. A is laid out
+    forward, padded with PAD_A out to a 128 multiple covering index
+    m+n-1, because kernels fetch one character per diagonal step
+    (``_char_col``) into a shift register rather than dynamically slicing
+    an unaligned window (illegal on Mosaic).
     """
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
@@ -446,16 +515,17 @@ def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
     nl = -(-(n + 1) // 128) * 128
     Bp = -(-B // block_b) * block_b
 
-    arev_pad = np.full((Bp, m + 2 * nl), PAD_A, np.uint8)
-    arev_pad[:B, nl: nl + m] = a_enc[:, ::-1]
-    b_ext = np.full((Bp, nl), PAD_B, np.uint8)
+    ma = max(-(-(m + n) // 128) * 128, 128)
+    a_fwd = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_fwd[:B, :m] = a_enc
+    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
     b_ext[:B, 1: n + 1] = b_enc
-    lbmask = np.zeros((Bp, nl), np.uint8)
+    lbmask = np.zeros((Bp, nl), np.int32)
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
     dsum = np.full((Bp, 128), -1, np.int32)
     dsum[:B] = (np.asarray(len_a, np.int64)
                 + np.asarray(len_b, np.int64))[:, None].astype(np.int32)
-    return arev_pad, b_ext, lbmask, dsum, B, m, n, nl
+    return a_fwd, b_ext, lbmask, dsum, B, m, n, nl
 
 
 def _default_interpret(interpret):
@@ -468,10 +538,10 @@ def pallas_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
                        mismatch=0.0, start_type=-1, block_b=DEF_BLOCK_B,
                        interpret=None):
     """Batched score-only fill. Returns (B, 3) final-cell (T1, T2, T3)."""
-    arev_pad, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
+    a_fwd, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_score(
-        arev_pad, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
+        a_fwd, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
         match=match, mismatch=mismatch, start_type=start_type,
         block_b=block_b, interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :3]
@@ -484,10 +554,10 @@ def pallas_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
 
     Returns (finals (B, 3), dirs (m+n+1, B, n+1) uint8); cell (i, j) of
     pair b is dirs[i+j, b, j]."""
-    arev_pad, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
+    a_fwd, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_dirs(
-        arev_pad, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
+        a_fwd, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
         match=match, mismatch=mismatch, start_type=start_type,
         block_b=block_b, interpret=_default_interpret(interpret))
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

@@ -1,6 +1,8 @@
 """Pallas TPU kernels for the Smith-Waterman local fill (ops/local.py).
 
-Same batch-sublane x diagonal-lane mapping as ops/pallas_fill.py, plus:
+Same batch-sublane x diagonal-lane mapping as ops/pallas_fill.py (int32
+sequences, shift-register A window, int32 direction packing — see that
+module's Mosaic ground rules), plus:
 - T1 clamped at zero (edges are zero, T2/T3 stay -inf);
 - the running best T1 cell tracked in VMEM scratch as (value, i, j),
   masked to each pair's true lengths; ties keep the earliest diagonal,
@@ -29,10 +31,15 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 )
 from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
     DEF_BLOCK_B,
+    _char_col,
     _default_interpret,
+    _emit_row,
     _first_argmax3,
     _neg,
+    _pack3,
+    _push_front,
     _shift_right_neg,
+    _unpack3,
 )
 from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
 
@@ -69,13 +76,13 @@ def _sw_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, p, q,
 
     if not want_dirs:
         return (t1, t2, t3), None
-    d1 = jnp.where(t1_open > 0.0, _first_argmax3(s1, s2, s3), jnp.uint8(3))
+    d1 = jnp.where(t1_open > 0.0, _first_argmax3(s1, s2, s3), 3)
     d2 = _first_argmax3(c2a, c2b, c2c)
     d3 = _first_argmax3(c3a, c3b, c3c)
     packed = jnp.where(
         interior,
         (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | (d3 << DIR_T3_SHIFT),
-        jnp.uint8(0),
+        0,
     )
     return (t1, t2, t3), packed
 
@@ -98,7 +105,7 @@ def _sw_update_best(best, t1, jj, d, la_col, lb_col):
             jnp.where(better, cj, bj))
 
 
-def _sw_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
+def _sw_score_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
                      *, m, n, nl, g, h, match, mismatch):
     block_b = bext_ref.shape[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
@@ -108,32 +115,33 @@ def _sw_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
 
     zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
     diag0 = (zero_at0, _neg((block_b, nl)), _neg((block_b, nl)))
-    neg_diag = tuple(_neg((block_b, nl)) for _ in range(3))
     best0 = (jnp.zeros((block_b, 1), jnp.float32),
              jnp.zeros((block_b, 1), jnp.float32),
              jnp.zeros((block_b, 1), jnp.float32))
+    av0 = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
 
     def body(d, carry):
-        p, q, best = carry
-        av = arev_ref[:, pl.ds(m - d + nl, nl)]
+        pq, qq, best, av = carry
+        av = _push_front(av, _char_col(a_ref, d - 1))
         t123, _ = _sw_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
-                                p, q, want_dirs=False)
+                                _unpack3(pq, nl), _unpack3(qq, nl),
+                                want_dirs=False)
         best = _sw_update_best(best, t123[0], jj, d, la_col, lb_col)
-        return (t123, p, best)
+        return (_pack3(t123), pq, best, av)
 
-    _, _, best = jax.lax.fori_loop(1, m + n + 1, body,
-                                   (diag0, neg_diag, best0))
-    out_ref[...] = jnp.concatenate(
-        list(best) + [_neg((block_b, 125))], axis=-1)
+    _, _, best, _ = jax.lax.fori_loop(
+        1, m + n + 1, body,
+        (_pack3(diag0), _neg((block_b, 3 * nl)), best0, av0))
+    out_ref[...] = _emit_row(list(best))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret"))
-def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
+def _pallas_sw_score(a_fwd, b_ext, la, lb, *, m, n, nl, g, h, match,
                      mismatch, block_b, interpret):
-    B = arev_pad.shape[0]
+    B = a_fwd.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
         _sw_score_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
@@ -142,7 +150,7 @@ def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
+            pl.BlockSpec((block_b, a_fwd.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -155,11 +163,11 @@ def _pallas_sw_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
         interpret=interpret,
-    )(arev_pad, b_ext, la, lb)
+    )(a_fwd, b_ext, la, lb)
 
 
-def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
-                    dirs_ref, fin_ref, state, best_acc,
+def _sw_dirs_kernel(a_ref, bext_ref, la_ref, lb_ref,
+                    dirs_ref, fin_ref, state, best_acc, av_state,
                     *, m, n, nl, g, h, match, mismatch, num_d):
     block_b = bext_ref.shape[0]
     d = pl.program_id(1)
@@ -175,7 +183,8 @@ def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
         neg = _neg((block_b, nl))
         state[0, 0], state[0, 1], state[0, 2] = zero_at0, neg, neg
         state[1, 0], state[1, 1], state[1, 2] = neg, neg, neg
-        dirs_ref[0] = jnp.zeros((block_b, nl), jnp.uint8)
+        av_state[...] = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
+        dirs_ref[0] = jnp.zeros((block_b, nl), jnp.int32).astype(jnp.uint8)
         z = jnp.zeros((block_b, 1), jnp.float32)
         best_acc[0], best_acc[1], best_acc[2] = z, z, z
 
@@ -183,11 +192,12 @@ def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
     def _():
         p = (state[1 - slot, 0], state[1 - slot, 1], state[1 - slot, 2])
         q = (state[slot, 0], state[slot, 1], state[slot, 2])
-        av = arev_ref[:, pl.ds(m - d + nl, nl)]
+        av = _push_front(av_state[...], _char_col(a_ref, d - 1))
+        av_state[...] = av
         t123, packed = _sw_diag_step(d, av, b_ext, jj, m, g, h, match,
                                      mismatch, p, q, want_dirs=True)
         state[slot, 0], state[slot, 1], state[slot, 2] = t123
-        dirs_ref[0] = packed
+        dirs_ref[0] = packed.astype(jnp.uint8)
         best = _sw_update_best(
             (best_acc[0], best_acc[1], best_acc[2]), t123[0], jj, d,
             la_col, lb_col)
@@ -195,18 +205,16 @@ def _sw_dirs_kernel(arev_ref, bext_ref, la_ref, lb_ref,
 
     @pl.when(d == num_d - 1)
     def _():
-        fin_ref[...] = jnp.concatenate(
-            [best_acc[0], best_acc[1], best_acc[2],
-             _neg((block_b, 125))], axis=-1)
+        fin_ref[...] = _emit_row([best_acc[0], best_acc[1], best_acc[2]])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret"))
-def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
+def _pallas_sw_dirs(a_fwd, b_ext, la, lb, *, m, n, nl, g, h, match,
                     mismatch, block_b, interpret):
-    B = arev_pad.shape[0]
+    B = a_fwd.shape[0]
     num_d = m + n + 1
     grid = (B // block_b, num_d)
     kernel = functools.partial(
@@ -216,7 +224,7 @@ def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b, d: (b, 0),
+            pl.BlockSpec((block_b, a_fwd.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -238,15 +246,17 @@ def _pallas_sw_dirs(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
         scratch_shapes=[
             pltpu.VMEM((2, 3, block_b, nl), jnp.float32),
             pltpu.VMEM((3, block_b, 1), jnp.float32),
+            pltpu.VMEM((block_b, nl), jnp.int32),
         ],
         interpret=interpret,
-    )(arev_pad, b_ext, la, lb)
+    )(a_fwd, b_ext, la, lb)
 
 
 def _prep_sw_inputs(a_enc, b_enc, len_a, len_b, block_b):
     """Lane dim padded to a 128 multiple (``nl``); lanes beyond each
     pair's len_b are excluded from best-tracking by the explicit length
-    masks, so the padding is inert."""
+    masks, so the padding is inert. int32 + forward-A layout for the
+    same Mosaic reasons as pallas_fill._prep_inputs."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -254,25 +264,26 @@ def _prep_sw_inputs(a_enc, b_enc, len_a, len_b, block_b):
     nl = -(-(n + 1) // 128) * 128
     Bp = -(-B // block_b) * block_b
 
-    arev_pad = np.full((Bp, m + 2 * nl), PAD_A, np.uint8)
-    arev_pad[:B, nl: nl + m] = a_enc[:, ::-1]
-    b_ext = np.full((Bp, nl), PAD_B, np.uint8)
+    ma = max(-(-(m + n) // 128) * 128, 128)
+    a_fwd = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_fwd[:B, :m] = a_enc
+    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
     b_ext[:B, 1: n + 1] = b_enc
     la = np.zeros((Bp, 128), np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     lb = np.zeros((Bp, 128), np.int32)
     lb[:B] = np.asarray(len_b, np.int32)[:, None]
-    return arev_pad, b_ext, la, lb, B, m, n, nl
+    return a_fwd, b_ext, la, lb, B, m, n, nl
 
 
 def pallas_sw_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                           match=2.0, mismatch=-1.0, block_b=DEF_BLOCK_B,
                           interpret=None):
     """Batched local scores. Returns (B, 3): [best, end_i, end_j]."""
-    arev_pad, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
+    a_fwd, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_sw_score(
-        arev_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
+        a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :3]
@@ -284,10 +295,10 @@ def pallas_sw_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     """Batched local fill emitting skew-T packed directions.
 
     Returns (best (B, 3), dirs (m+n+1, B, n+1) uint8)."""
-    arev_pad, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
+    a_fwd, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_sw_dirs(
-        arev_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
+        a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

@@ -24,14 +24,20 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 )
 from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
     DEF_BLOCK_B,
+    _char_col,
     _default_interpret,
+    _emit_row,
     _first_argmax3,
     _neg,
+    _pack3,
+    _push_front,
     _shift_right_neg,
+    _unpack3,
 )
 from cse305_parallel_sequence_alignment_tpu.ops.pallas_local import (
     _prep_sw_inputs,
 )
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A
 
 _BIG_J = 2.0 ** 24
 
@@ -77,7 +83,7 @@ def _sg_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, p, q,
     packed = jnp.where(
         interior,
         (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | (d3 << DIR_T3_SHIFT),
-        jnp.uint8(0),
+        0,
     )
     return (t1, t2, t3), packed
 
@@ -107,7 +113,7 @@ def _sg_update_best(best, t123, jj, d, la_col, lb_col):
             jnp.where(better, cj, bj))
 
 
-def _sg_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
+def _sg_score_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
                      *, m, n, nl, g, h, match, mismatch):
     block_b = bext_ref.shape[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
@@ -117,33 +123,34 @@ def _sg_score_kernel(arev_ref, bext_ref, la_ref, lb_ref, out_ref,
 
     zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
     diag0 = (zero_at0, _neg((block_b, nl)), _neg((block_b, nl)))
-    neg_diag = tuple(_neg((block_b, nl)) for _ in range(3))
     best0 = (jnp.full((block_b, 1), jnp.float32(NEG_INF)),
              jnp.ones((block_b, 1), jnp.float32),
              jnp.zeros((block_b, 1), jnp.float32))
     best0 = _sg_update_best(best0, diag0, jj, 0, la_col, lb_col)
+    av0 = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
 
     def body(d, carry):
-        p, q, best = carry
-        av = arev_ref[:, pl.ds(m - d + nl, nl)]
+        pq, qq, best, av = carry
+        av = _push_front(av, _char_col(a_ref, d - 1))
         t123, _ = _sg_diag_step(d, av, b_ext, jj, m, g, h, match,
-                                mismatch, p, q, want_dirs=False)
+                                mismatch, _unpack3(pq, nl),
+                                _unpack3(qq, nl), want_dirs=False)
         best = _sg_update_best(best, t123, jj, d, la_col, lb_col)
-        return (t123, p, best)
+        return (_pack3(t123), pq, best, av)
 
-    _, _, best = jax.lax.fori_loop(1, m + n + 1, body,
-                                   (diag0, neg_diag, best0))
-    out_ref[...] = jnp.concatenate(
-        [best[0], best[1], la_col, best[2], _neg((block_b, 124))], axis=-1)
+    _, _, best, _ = jax.lax.fori_loop(
+        1, m + n + 1, body,
+        (_pack3(diag0), _neg((block_b, 3 * nl)), best0, av0))
+    out_ref[...] = _emit_row([best[0], best[1], la_col, best[2]])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret"))
-def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
+def _pallas_sg_score(a_fwd, b_ext, la, lb, *, m, n, nl, g, h, match,
                      mismatch, block_b, interpret):
-    B = arev_pad.shape[0]
+    B = a_fwd.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
         _sg_score_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
@@ -152,7 +159,7 @@ def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, arev_pad.shape[1]), lambda b: (b, 0),
+            pl.BlockSpec((block_b, a_fwd.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -165,7 +172,7 @@ def _pallas_sg_score(arev_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
         interpret=interpret,
-    )(arev_pad, b_ext, la, lb)
+    )(a_fwd, b_ext, la, lb)
 
 
 def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
@@ -173,10 +180,10 @@ def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
                                   block_b=DEF_BLOCK_B, interpret=None):
     """Batched semi-global scores. Returns (B, 4): [score, end_table,
     end_i, end_j]."""
-    arev_pad, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
+    a_fwd, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_sg_score(
-        arev_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
+        a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :4]
