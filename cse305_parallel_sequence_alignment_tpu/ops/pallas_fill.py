@@ -219,26 +219,60 @@ def _score_kernel(a_ref, bext_ref, lbmask_ref, dsum_ref, out_ref,
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     lbmask = lbmask_ref[...] != 0
+    lbmask3 = jnp.concatenate([lbmask] * 3, axis=-1)
     dsum_col = dsum_ref[:, 0:1]
+    neg_inf = jnp.float32(NEG_INF)
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    row0_2 = _row0_t2(jj, gf, hf, start_type)
 
     diag0 = _diag0(jj, start_type)
-    finals0 = _capture(tuple(_neg((block_b, 1)) for _ in range(3)),
-                       diag0, lbmask, dsum_col, 0)
+    fin0 = jnp.where((dsum_col == 0) & lbmask3, _pack3(diag0), neg_inf)
     av0 = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
 
     def body(d, carry):
-        pq, qq, finals, av = carry
+        # p (diag d-1) and q (diag d-2) ride one packed carry: this
+        # compiler SIGABRTs at >=3 large f32 loop carries (see _pack3),
+        # and the running finals array needs the third slot.
+        pq6, fin, av = carry
+        p1, p2, p3 = _unpack3(pq6[:, : 3 * nl], nl)
+        q1, q2, q3 = _unpack3(pq6[:, 3 * nl:], nl)
         av = _push_front(av, _char_col(a_ref, d - 1))
-        t123, _ = _diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
-                             start_type, _unpack3(pq, nl),
-                             _unpack3(qq, nl), want_dirs=False)
-        finals = _capture(finals, t123, lbmask, dsum_col, d)
-        return (_pack3(t123), pq, finals, av)
+        ii = d - jj
+        interior = (jj >= 1) & (ii >= 1) & (ii <= m)
+        on_row0 = ii == 0
+        on_col0 = (jj == 0) & (ii >= 1) & (ii <= m)
+        valid = (ii >= 0) & (ii <= m)
 
-    _, _, finals, _ = jax.lax.fori_loop(
-        1, m + n + 1, body,
-        (_pack3(diag0), _neg((block_b, 3 * nl)), finals0, av0))
-    out_ref[...] = _emit_row(list(finals))
+        fvec = jnp.where(av == b_ext, jnp.float32(match),
+                         jnp.float32(mismatch))
+        # max of shifts == shift of max (identical -inf fill): one lane
+        # shift per table family instead of three
+        t1 = fvec + _shift_right_neg(
+            jnp.maximum(jnp.maximum(q1, q2), q3))
+        t2 = _shift_right_neg(
+            jnp.maximum(jnp.maximum(p1, p3) - gf - hf, p2 - gf))
+        t3 = jnp.maximum(jnp.maximum(p1, p2) - gf - hf, p3 - gf)
+
+        col0_3 = _col0_t3(d, gf, hf, start_type)
+        t1 = jnp.where(interior, t1, neg_inf)
+        t2 = jnp.where(on_row0, row0_2, jnp.where(interior, t2, neg_inf))
+        t3 = jnp.where(on_row0, neg_inf, jnp.where(
+            on_col0, col0_3, jnp.where(interior, t3, neg_inf)))
+        t2 = jnp.where(valid, t2, neg_inf)
+        t3 = jnp.where(valid, t3, neg_inf)
+
+        t_pack = _pack3((t1, t2, t3))
+        fin = jnp.where((dsum_col == d) & lbmask3, t_pack, fin)
+        return (jnp.concatenate([t_pack, pq6[:, : 3 * nl]], axis=-1),
+                fin, av)
+
+    pq6_0 = jnp.concatenate(
+        [_pack3(diag0), _neg((block_b, 3 * nl))], axis=-1)
+    _, fin, _ = jax.lax.fori_loop(
+        1, m + n + 1, body, (pq6_0, fin0, av0))
+    finals = [jnp.max(t, axis=-1, keepdims=True)
+              for t in _unpack3(fin, nl)]
+    out_ref[...] = _emit_row(finals)
 
 
 @functools.partial(
@@ -401,41 +435,38 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
                    _row0_t2(jj, gf, hf, start_type))
     r3 = jnp.where(lane0, jnp.float32(corner3), neg_inf)
 
-    def pick(t123):
-        return [jnp.max(jnp.where(lbmask, t, neg_inf), axis=-1,
-                        keepdims=True) for t in t123]
-
-    finals0 = tuple(
-        jnp.where(la_col == 0, p, _neg((block_b, 1)))
-        for p in pick((r1, r2, r3)))
+    lbmask3 = jnp.concatenate([lbmask] * 3, axis=-1)
+    fin0 = jnp.where((la_col == 0) & lbmask3, _pack3((r1, r2, r3)),
+                     jnp.float32(NEG_INF))
 
     def body(i, carry):
-        pq, finals = carry
+        pq, fin = carry
         p1, p2, p3 = _unpack3(pq, nl)
         a_col = _char_col(a_ref, i - 1)
         fb = jnp.where(b_ext == a_col, jnp.float32(match),
                        jnp.float32(mismatch))
-        d1 = _shift_right_neg(p1)
-        d2 = _shift_right_neg(p2)
-        d3 = _shift_right_neg(p3)
-        t1 = fb + jnp.maximum(jnp.maximum(d1, d2), d3)
-        t3 = jnp.maximum(jnp.maximum(p1 - gf - hf, p2 - gf - hf),
-                         p3 - gf)
+        # max of shifts == shift of max (same -inf fill): one lane shift
+        # instead of three, and T3's triple as two maxes.
+        mp12 = jnp.maximum(p1, p2)
+        t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+        t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
         t1 = jnp.where(lane0, neg_inf, t1)
         t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
         m13 = _shift_right_neg(jnp.maximum(t1, t3))
         omega = jg + m13 - gf - hf  # lane 0: -inf (T2 col-0 boundary)
         pm = _lane_prefix_max(omega, nl)
         t2 = jnp.where(lane0, neg_inf, pm - jg)
-        cap = la_col == i
-        finals = tuple(
-            jnp.where(cap, p, f)
-            for p, f in zip(pick((t1, t2, t3)), finals))
-        return (_pack3((t1, t2, t3)), finals)
+        # running elementwise capture: the cross-lane reduce happens once
+        # after the loop, not every row
+        t_pack = _pack3((t1, t2, t3))
+        fin = jnp.where((la_col == i) & lbmask3, t_pack, fin)
+        return (t_pack, fin)
 
-    _, finals = jax.lax.fori_loop(1, m + 1, body,
-                                  (_pack3((r1, r2, r3)), finals0))
-    out_ref[...] = _emit_row(list(finals))
+    _, fin = jax.lax.fori_loop(1, m + 1, body,
+                               (_pack3((r1, r2, r3)), fin0))
+    finals = [jnp.max(t, axis=-1, keepdims=True)
+              for t in _unpack3(fin, nl)]
+    out_ref[...] = _emit_row(finals)
 
 
 @functools.partial(

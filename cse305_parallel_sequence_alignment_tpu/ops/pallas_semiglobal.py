@@ -55,17 +55,26 @@ def _sg_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, p, q,
     neg_inf = jnp.float32(NEG_INF)
 
     fvec = jnp.where(av == b_ext, jnp.float32(match), jnp.float32(mismatch))
-    s1, s2, s3 = (_shift_right_neg(q1), _shift_right_neg(q2),
-                  _shift_right_neg(q3))
-    t1_int = fvec + jnp.maximum(jnp.maximum(s1, s2), s3)
+    if not want_dirs:
+        # max of shifts == shift of max (identical -inf fill): one lane
+        # shift per table family instead of three
+        t1_int = fvec + _shift_right_neg(
+            jnp.maximum(jnp.maximum(q1, q2), q3))
+        t2_int = _shift_right_neg(
+            jnp.maximum(jnp.maximum(p1, p3) - g - h, p2 - g))
+        t3_int = jnp.maximum(jnp.maximum(p1, p2) - g - h, p3 - g)
+    else:
+        s1, s2, s3 = (_shift_right_neg(q1), _shift_right_neg(q2),
+                      _shift_right_neg(q3))
+        t1_int = fvec + jnp.maximum(jnp.maximum(s1, s2), s3)
 
-    l1, l2, l3 = (_shift_right_neg(p1), _shift_right_neg(p2),
-                  _shift_right_neg(p3))
-    c2a, c2b, c2c = l1 - g - h, l2 - g, l3 - g - h
-    t2_int = jnp.maximum(jnp.maximum(c2a, c2b), c2c)
+        l1, l2, l3 = (_shift_right_neg(p1), _shift_right_neg(p2),
+                      _shift_right_neg(p3))
+        c2a, c2b, c2c = l1 - g - h, l2 - g, l3 - g - h
+        t2_int = jnp.maximum(jnp.maximum(c2a, c2b), c2c)
 
-    c3a, c3b, c3c = p1 - g - h, p2 - g - h, p3 - g
-    t3_int = jnp.maximum(jnp.maximum(c3a, c3b), c3c)
+        c3a, c3b, c3c = p1 - g - h, p2 - g - h, p3 - g
+        t3_int = jnp.maximum(jnp.maximum(c3a, c3b), c3c)
 
     col0_t3 = -h - g * jnp.float32(d)  # row i = d at column 0
     t1 = jnp.where(on_row0, 0.0, jnp.where(interior, t1_int, neg_inf))
