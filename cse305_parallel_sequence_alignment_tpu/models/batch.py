@@ -122,6 +122,18 @@ class BatchAligner:
                 import pallas_rowscan_score_batch
             return pallas_rowscan_score_batch(a, b, la, lb, **self._kw())
         if self.matrix is not None:
+            import jax
+            if self.backend != "wavefront" and \
+                    jax.default_backend() == "tpu":
+                from cse305_parallel_sequence_alignment_tpu.ops. \
+                    pallas_fill import pallas_submat_score_batch
+                try:
+                    return pallas_submat_score_batch(
+                        a, b, la, lb, self.matrix.table(),
+                        g=self.params.g, h=self.params.h,
+                        start_type=self.start_type)
+                except Exception as e:  # noqa: BLE001
+                    _pallas_fallback_warn("submat", e)
             from cse305_parallel_sequence_alignment_tpu.ops.wavefront \
                 import wavefront_score_batch_matrix
             return np.asarray(wavefront_score_batch_matrix(

@@ -409,7 +409,8 @@ def _lane_prefix_max(x, nl):
 
 
 def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
-                    *, m, n, nl, g, h, match, mismatch, start_type):
+                    *, m, n, nl, g, h, match, mismatch, start_type,
+                    unroll=4):
     """Row-sweep score kernel: m steps of (block_b, nl) work with the
     prefix-max T2 linearization (reference P2) done in-kernel by
     log-shift sweeps. Unlike the diagonal kernel there is no wavefront
@@ -439,9 +440,8 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
     fin0 = jnp.where((la_col == 0) & lbmask3, _pack3((r1, r2, r3)),
                      jnp.float32(NEG_INF))
 
-    def body(i, carry):
-        pq, fin = carry
-        p1, p2, p3 = _unpack3(pq, nl)
+    def row_step(i, t123, fin):
+        p1, p2, p3 = t123
         a_col = _char_col(a_ref, i - 1)
         fb = jnp.where(b_ext == a_col, jnp.float32(match),
                        jnp.float32(mismatch))
@@ -458,11 +458,22 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
         t2 = jnp.where(lane0, neg_inf, pm - jg)
         # running elementwise capture: the cross-lane reduce happens once
         # after the loop, not every row
-        t_pack = _pack3((t1, t2, t3))
-        fin = jnp.where((la_col == i) & lbmask3, t_pack, fin)
-        return (t_pack, fin)
+        fin = jnp.where((la_col == i) & lbmask3,
+                        _pack3((t1, t2, t3)), fin)
+        return (t1, t2, t3), fin
 
-    _, fin = jax.lax.fori_loop(1, m + 1, body,
+    # several rows per fori iteration amortise loop/carry bookkeeping;
+    # rows past m only compute dead state (la <= m < i, so the capture
+    # mask never fires there)
+    def body(s, carry):
+        pq, fin = carry
+        t123 = _unpack3(pq, nl)
+        for u in range(unroll):
+            t123, fin = row_step(s * unroll + u + 1, t123, fin)
+        return (_pack3(t123), fin)
+
+    steps = -(-m // unroll)
+    _, fin = jax.lax.fori_loop(0, steps, body,
                                (_pack3((r1, r2, r3)), fin0))
     finals = [jnp.max(t, axis=-1, keepdims=True)
               for t in _unpack3(fin, nl)]
@@ -510,8 +521,10 @@ def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     B, m = a_enc.shape
     n = b_enc.shape[1]
     nl = -(-(n + 1) // 128) * 128
+    # +1 tile: the unrolled kernel touches a-columns up to m+unroll-2
+    ma = max(-(-m // 128) * 128, 128) + 128
+    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + 7 * nl)
     Bp = -(-B // block_b) * block_b
-    ma = max(-(-m // 128) * 128, 128)
     a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
     a_pad[:B, :m] = a_enc
     b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
@@ -523,6 +536,133 @@ def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     out = _pallas_rowscan(
         a_pad, b_ext, lbmask, la, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, start_type=start_type, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    return np.asarray(out)[:B, :3]
+
+
+def _submat_kernel(a_ref, prof_ref, lbmask_ref, la_ref, out_ref,
+                   *, m, n, nl, k1, g, h, start_type):
+    """Row-sweep fill under a substitution matrix.
+
+    Mosaic has no vector gather, so the classic query-profile technique
+    applies: the host pre-gathers prof[k, j] = table[k, B[j]] and the
+    kernel resolves f(A[i], B[j]) with k1-1 lane selects keyed on A's
+    code (reference f(): subproblem_alignment.h:83-88 generalised to a
+    full matrix). Everything else mirrors _rowscan_kernel.
+    """
+    block_b = lbmask_ref.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    lbmask = lbmask_ref[...] != 0
+    la_col = la_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    lane0 = jj == 0
+    jg = gf * jj.astype(jnp.float32)
+
+    corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+    corner2 = 0.0 if start_type == -2 else NEG_INF
+    corner3 = 0.0 if start_type == -3 else NEG_INF
+    r1 = jnp.where(lane0, jnp.float32(corner1), neg_inf)
+    r2 = jnp.where(lane0, jnp.float32(corner2),
+                   _row0_t2(jj, gf, hf, start_type))
+    r3 = jnp.where(lane0, jnp.float32(corner3), neg_inf)
+
+    lbmask3 = jnp.concatenate([lbmask] * 3, axis=-1)
+    fin0 = jnp.where((la_col == 0) & lbmask3, _pack3((r1, r2, r3)),
+                     neg_inf)
+    prof = prof_ref[...]
+
+    def body(i, carry):
+        pq, fin = carry
+        p1, p2, p3 = _unpack3(pq, nl)
+        a_col = _char_col(a_ref, i - 1)
+        fb = prof[:, :nl]
+        for k in range(1, k1):
+            fb = jnp.where(a_col == k, prof[:, k * nl: (k + 1) * nl], fb)
+        mp12 = jnp.maximum(p1, p2)
+        t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+        t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
+        t1 = jnp.where(lane0, neg_inf, t1)
+        t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
+        m13 = _shift_right_neg(jnp.maximum(t1, t3))
+        omega = jg + m13 - gf - hf
+        pm = _lane_prefix_max(omega, nl)
+        t2 = jnp.where(lane0, neg_inf, pm - jg)
+        t_pack = _pack3((t1, t2, t3))
+        fin = jnp.where((la_col == i) & lbmask3, t_pack, fin)
+        return (t_pack, fin)
+
+    _, fin = jax.lax.fori_loop(1, m + 1, body,
+                               (_pack3((r1, r2, r3)), fin0))
+    finals = [jnp.max(t, axis=-1, keepdims=True)
+              for t in _unpack3(fin, nl)]
+    out_ref[...] = _emit_row(finals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "k1", "g", "h", "start_type",
+                     "block_b", "interpret"))
+def _pallas_submat(a_pad, prof, lbmask, la, *, m, n, nl, k1, g, h,
+                   start_type, block_b, interpret):
+    B = a_pad.shape[0]
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _submat_kernel, m=m, n=n, nl=nl, k1=k1, g=float(g), h=float(h),
+        start_type=start_type)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, k1 * nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        interpret=interpret,
+    )(a_pad, prof, lbmask, la)
+
+
+def pallas_submat_score_batch(a_codes, b_codes, len_a, len_b, table,
+                              g=1.0, h=2.0, start_type=-1,
+                              block_b=DEF_BLOCK_B, interpret=None):
+    """Batched substitution-matrix score fill. Returns (B, 3) finals.
+
+    ``a_codes``/``b_codes``: (B, m)/(B, n) uint8 alphabet codes padded
+    with ``k1 - 1`` (the matrix pad code); ``table``: (k1, k1) float
+    lookup (core.SubstitutionMatrix.table())."""
+    a_codes = np.asarray(a_codes, np.uint8)
+    b_codes = np.asarray(b_codes, np.uint8)
+    table = np.asarray(table, np.float32)
+    k1 = table.shape[0]
+    B, m = a_codes.shape
+    n = b_codes.shape[1]
+    nl = -(-(n + 1) // 128) * 128
+    ma = max(-(-m // 128) * 128, 128)
+    block_b = _fit_block_b(
+        block_b, 2 * (ma + (k1 + 1) * nl + 128) + 7 * nl)
+    Bp = -(-B // block_b) * block_b
+    a_pad = np.full((Bp, ma), k1 - 1, np.int32)
+    a_pad[:B, :m] = a_codes
+    b_ext = np.full((Bp, nl), k1 - 1, np.int64)
+    b_ext[:B, 1: n + 1] = b_codes
+    # prof[:, k*nl + j] = table[k, b_ext[j]]
+    prof = np.ascontiguousarray(
+        table[:, b_ext].transpose(1, 0, 2).reshape(Bp, k1 * nl))
+    lbmask = np.zeros((Bp, nl), np.int32)
+    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    la = np.full((Bp, 128), -1, np.int32)
+    la[:B] = np.asarray(len_a, np.int32)[:, None]
+    out = _pallas_submat(
+        a_pad, prof, lbmask, la, m=m, n=n, nl=nl, k1=k1, g=g, h=h,
+        start_type=start_type, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :3]
 
@@ -544,9 +684,10 @@ def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
     B, m = a_enc.shape
     n = b_enc.shape[1]
     nl = -(-(n + 1) // 128) * 128
+    ma = max(-(-(m + n) // 128) * 128, 128)
+    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + 10 * nl)
     Bp = -(-B // block_b) * block_b
 
-    ma = max(-(-(m + n) // 128) * 128, 128)
     a_fwd = np.full((Bp, ma), int(PAD_A), np.int32)
     a_fwd[:B, :m] = a_enc
     b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
@@ -556,7 +697,7 @@ def _prep_inputs(a_enc, b_enc, len_a, len_b, block_b):
     dsum = np.full((Bp, 128), -1, np.int32)
     dsum[:B] = (np.asarray(len_a, np.int64)
                 + np.asarray(len_b, np.int64))[:, None].astype(np.int32)
-    return a_fwd, b_ext, lbmask, dsum, B, m, n, nl
+    return a_fwd, b_ext, lbmask, dsum, B, m, n, nl, block_b
 
 
 def _default_interpret(interpret):
@@ -565,11 +706,23 @@ def _default_interpret(interpret):
     return interpret
 
 
+def _fit_block_b(block_b, lanes_per_row, budget_bytes=12 << 20):
+    """Halve block_b until one block's VMEM footprint fits.
+
+    ``lanes_per_row`` counts 4-byte lanes per batch row: double-buffered
+    inputs (Mosaic prefetches the next grid block) plus loop carries.
+    v5e VMEM is ~16 MB/core; 12 MB leaves headroom for temporaries.
+    """
+    while block_b > 8 and block_b * 4 * lanes_per_row > budget_bytes:
+        block_b //= 2
+    return block_b
+
+
 def pallas_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
                        mismatch=0.0, start_type=-1, block_b=DEF_BLOCK_B,
                        interpret=None):
     """Batched score-only fill. Returns (B, 3) final-cell (T1, T2, T3)."""
-    a_fwd, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
+    a_fwd, b_ext, lbmask, dsum, B, m, n, nl, block_b = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_score(
         a_fwd, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
@@ -585,7 +738,7 @@ def pallas_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
 
     Returns (finals (B, 3), dirs (m+n+1, B, n+1) uint8); cell (i, j) of
     pair b is dirs[i+j, b, j]."""
-    a_fwd, b_ext, lbmask, dsum, B, m, n, nl = _prep_inputs(
+    a_fwd, b_ext, lbmask, dsum, B, m, n, nl, block_b = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_dirs(
         a_fwd, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,

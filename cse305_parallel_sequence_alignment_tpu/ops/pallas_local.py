@@ -267,14 +267,18 @@ def _prep_sw_inputs(a_enc, b_enc, len_a, len_b, block_b):
     pair's len_b are excluded from best-tracking by the explicit length
     masks, so the padding is inert. int32 + forward-A layout for the
     same Mosaic reasons as pallas_fill._prep_inputs."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _fit_block_b,
+    )
+
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
     n = b_enc.shape[1]
     nl = -(-(n + 1) // 128) * 128
-    Bp = -(-B // block_b) * block_b
-
     ma = max(-(-(m + n) // 128) * 128, 128)
+    block_b = _fit_block_b(block_b, 2 * (ma + nl + 384) + 10 * nl)
+    Bp = -(-B // block_b) * block_b
     a_fwd = np.full((Bp, ma), int(PAD_A), np.int32)
     a_fwd[:B, :m] = a_enc
     b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
@@ -283,14 +287,14 @@ def _prep_sw_inputs(a_enc, b_enc, len_a, len_b, block_b):
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     lb = np.zeros((Bp, 128), np.int32)
     lb[:B] = np.asarray(len_b, np.int32)[:, None]
-    return a_fwd, b_ext, la, lb, B, m, n, nl
+    return a_fwd, b_ext, la, lb, B, m, n, nl, block_b
 
 
 def pallas_sw_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                           match=2.0, mismatch=-1.0, block_b=DEF_BLOCK_B,
                           interpret=None):
     """Batched local scores. Returns (B, 3): [best, end_i, end_j]."""
-    a_fwd, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
+    a_fwd, b_ext, la, lb, B, m, n, nl, block_b = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_sw_score(
         a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
@@ -305,7 +309,7 @@ def pallas_sw_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     """Batched local fill emitting skew-T packed directions.
 
     Returns (best (B, 3), dirs (m+n+1, B, n+1) uint8)."""
-    a_fwd, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
+    a_fwd, b_ext, la, lb, B, m, n, nl, block_b = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_sw_dirs(
         a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,

@@ -189,7 +189,7 @@ def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
                                   block_b=DEF_BLOCK_B, interpret=None):
     """Batched semi-global scores. Returns (B, 4): [score, end_table,
     end_i, end_j]."""
-    a_fwd, b_ext, la, lb, B, m, n, nl = _prep_sw_inputs(
+    a_fwd, b_ext, la, lb, B, m, n, nl, block_b = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_sg_score(
         a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,

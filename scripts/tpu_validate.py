@@ -112,6 +112,26 @@ def main():
         for k in kcheck])
     check("pallas_banded_score", got_band[list(kcheck)], want_band)
 
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_submat_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+        wavefront_score_batch_matrix,
+    )
+    from cse305_parallel_sequence_alignment_tpu.utils.matrices import (
+        BLOSUM62,
+    )
+    kk = BLOSUM62.k
+    ac = np.where(a == PAD_A, kk, (a - 65) % kk).astype(np.uint8)
+    bc = np.where(b == PAD_B, kk, (b - 65) % kk).astype(np.uint8)
+    want_sm = np.asarray(wavefront_score_batch_matrix(
+        jnp.asarray(ac), jnp.asarray(bc), jla, jlb,
+        jnp.asarray(BLOSUM62.table()), g=1.0, h=2.0, start_type=-1,
+        pad_code=kk))
+    got_sm = pallas_submat_score_batch(ac, bc, la, lb, BLOSUM62.table(),
+                                       g=1.0, h=2.0)
+    check("pallas_submat_score (blosum62)", got_sm, want_sm)
+
     g, h, match, mismatch = LOCAL_PARAMS.astuple()
     want_sw = np.asarray(sw_score_batch(
         ja, jb, jla, jlb, g=g, h=h, match=match, mismatch=mismatch))

@@ -127,3 +127,42 @@ def _oracle_chain(a, b, T1, T2, T3, params):
         rev.append(pt)
         t = tn
     return list(reversed(rev))[1:], table, score
+
+
+def test_pallas_submat_kernel_matches_wavefront_matrix():
+    """Query-profile Pallas fill == XLA matrix fill (DNA + BLOSUM62)."""
+    import jax.numpy as jnp
+
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_submat_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+        wavefront_score_batch_matrix,
+    )
+    from cse305_parallel_sequence_alignment_tpu.utils.matrices import (
+        BLOSUM62,
+    )
+
+    rng = np.random.default_rng(11)
+    for mat, alpha in ((TRANSITION, "ACGT"), (BLOSUM62, None)):
+        if alpha is None:
+            alpha = mat.alphabet
+        k = mat.k
+        B, bm, bn = 8, 96, 130
+        a = np.full((B, bm), k, np.uint8)
+        b = np.full((B, bn), k, np.uint8)
+        la = np.zeros(B, np.int32)
+        lb = np.zeros(B, np.int32)
+        for r in range(B):
+            la[r] = int(rng.integers(1, bm + 1))
+            lb[r] = int(rng.integers(1, bn + 1))
+            a[r, : la[r]] = rng.integers(0, k, la[r])
+            b[r, : lb[r]] = rng.integers(0, k, lb[r])
+        for st in (-1, -2):
+            want = np.asarray(wavefront_score_batch_matrix(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+                jnp.asarray(lb), jnp.asarray(mat.table()),
+                g=1.0, h=2.0, start_type=st, pad_code=k))
+            got = pallas_submat_score_batch(
+                a, b, la, lb, mat.table(), g=1.0, h=2.0, start_type=st)
+            assert np.array_equal(got, want), (mat.alphabet[:8], st)
