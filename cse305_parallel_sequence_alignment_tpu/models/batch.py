@@ -167,9 +167,13 @@ class BatchAligner:
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_dirs_batch
             try:
-                finals, dirs = pallas_dirs_batch(a, b, la, lb,
-                                                 **self._kw())
-                return np.asarray(finals), np.asarray(dirs), 1
+                # keep the (large) dirs array ON DEVICE: the traceback
+                # walks there too (ops/device_walk.py) and only 2-bit op
+                # codes come back — device->host bandwidth is the
+                # bottleneck for full alignments
+                finals, dirs = pallas_dirs_batch(
+                    a, b, la, lb, device_dirs=True, **self._kw())
+                return np.asarray(finals), dirs, 1
             except Exception as e:  # noqa: BLE001
                 _pallas_fallback_warn("dirs", e)
         finals, dirs = wavefront_dirs_batch(
@@ -272,9 +276,16 @@ class BatchAligner:
 
     def _walk_chunk(self, dirs, pair_axis, la, lb, tables, mode, offsets,
                     chunk):
-        """Chains for every pair of one device chunk: thread-parallel
-        native walk when libtsa is built, per-pair Python walk otherwise
-        (identical output — tests assert equality)."""
+        """Chains for every pair of one device chunk: on-device walk when
+        the dirs array lives on the accelerator (2-bit codes come back
+        instead of the matrix), thread-parallel native walk when libtsa
+        is built, per-pair Python walk otherwise (identical output —
+        tests assert equality)."""
+        if not isinstance(dirs, np.ndarray):  # device-resident (pallas)
+            from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
+                import walk_batch_device
+            return walk_batch_device(dirs, la, lb, tables, mode=mode,
+                                     offsets=offsets, chunk=chunk)
         from cse305_parallel_sequence_alignment_tpu.native import walker
         out = walker.walk_batch(dirs, pair_axis, la, lb, tables,
                                 layout="skew", mode=mode)

@@ -733,15 +733,20 @@ def pallas_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
 
 def pallas_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0, match=1.0,
                       mismatch=0.0, start_type=-1, block_b=DEF_BLOCK_B,
-                      interpret=None):
+                      device_dirs=False, interpret=None):
     """Batched fill emitting skew-T packed directions.
 
     Returns (finals (B, 3), dirs (m+n+1, B, n+1) uint8); cell (i, j) of
-    pair b is dirs[i+j, b, j]."""
+    pair b is dirs[i+j, b, j]. With ``device_dirs`` the dirs array stays
+    on the accelerator (ops/device_walk.py walks it there; the batch-pad
+    rows are left in, harmless) — fetching hundreds of MB through a slow
+    device->host link is the full-alignment bottleneck otherwise."""
     a_fwd, b_ext, lbmask, dsum, B, m, n, nl, block_b = _prep_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_dirs(
         a_fwd, b_ext, lbmask, dsum, m=m, n=n, nl=nl, g=g, h=h,
         match=match, mismatch=mismatch, start_type=start_type,
         block_b=block_b, interpret=_default_interpret(interpret))
+    if device_dirs:
+        return np.asarray(fin)[:B, :3], dirs
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

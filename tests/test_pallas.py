@@ -76,3 +76,46 @@ def test_pallas_dirs_traceback_matches_oracle():
         want = oracle_align(s1, s2, parity_swap=False)
         assert chain == want.chain, (s1, s2)
         assert score == want.score
+
+
+def test_device_walk_matches_host_walker():
+    """backend="pallas" walks dirs on-device (interpret on CPU); chains
+    must equal the wavefront + host-walker path exactly, both modes."""
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+
+    rng = np.random.default_rng(23)
+    pairs = []
+    for _ in range(9):
+        la = int(rng.integers(1, 90))
+        lb = int(rng.integers(1, 110))
+        pairs.append(("".join(rng.choice(list("ACGT"), la)),
+                      "".join(rng.choice(list("ACGT"), lb))))
+    dev = BatchAligner(backend="pallas")
+    host = BatchAligner(backend="wavefront")
+    for mode in ("parity", "full"):
+        got = dev.align_batch(pairs, traceback_mode=mode)
+        want = host.align_batch(pairs, traceback_mode=mode)
+        for g_, w_ in zip(got, want):
+            assert g_.chain == w_.chain
+            assert g_.score == w_.score
+            assert g_.aligned_a == w_.aligned_a
+
+
+def test_device_walk_offsets():
+    """Global-coordinate offsets flow through the device walk."""
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+
+    rng = np.random.default_rng(29)
+    pairs = [("".join(rng.choice(list("ACGT"), 40)),
+              "".join(rng.choice(list("ACGT"), 50))) for _ in range(3)]
+    offs = [(100, 200), (0, 7), (55, 0)]
+    dev = BatchAligner(backend="pallas")
+    host = BatchAligner(backend="wavefront")
+    got = dev.align_batch(pairs, offsets=offs, traceback_mode="full")
+    want = host.align_batch(pairs, offsets=offs, traceback_mode="full")
+    for g_, w_ in zip(got, want):
+        assert g_.chain == w_.chain
