@@ -95,22 +95,23 @@ class LocalBatchAligner:
             jnp.asarray(lb), **self._kw()))
 
     def _best_dirs(self, a, b, la, lb):
+        """(best (B,3), dirs, pair_axis); dirs stays device-resident on
+        the pallas path (the walk happens there, ops/device_walk.py)."""
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.models.batch \
                 import _pallas_fallback_warn
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_local \
                 import pallas_sw_dirs_batch
             try:
-                best, dirs = pallas_sw_dirs_batch(a, b, la, lb,
-                                                  **self._kw())
-                return best, (lambda r: dirs[:, r, :])
+                best, dirs = pallas_sw_dirs_batch(
+                    a, b, la, lb, device_dirs=True, **self._kw())
+                return best, dirs, 1
             except Exception as e:  # noqa: BLE001
                 _pallas_fallback_warn("sw_dirs", e)
         best, dirs = sw_dirs_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw())
-        best, dirs = np.asarray(best), np.asarray(dirs)
-        return best, (lambda r: dirs[r])
+        return np.asarray(best), np.asarray(dirs), 0
 
     def _prep(self, pairs):
         enc_a = [encode_seq(p[0]) if isinstance(p[0], (str, bytes))
@@ -166,7 +167,15 @@ class LocalBatchAligner:
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
-                best, dirs_at = self._best_dirs(a, b, la, lb)
+                best, dirs, pair_axis = self._best_dirs(a, b, la, lb)
+                if isinstance(dirs, np.ndarray):
+                    chains = None
+                else:  # device-resident: batched on-device walk
+                    from cse305_parallel_sequence_alignment_tpu.ops. \
+                        device_walk import walk_local_batch_device
+                    chains = walk_local_batch_device(
+                        dirs, best[:, 1].astype(np.int64),
+                        best[:, 2].astype(np.int64), pair_axis=pair_axis)
                 for r, k in enumerate(chunk):
                     score = float(best[r, 0])
                     if score <= 0.0:
@@ -174,8 +183,10 @@ class LocalBatchAligner:
                             0.0, 0, 0, 0, 0, [], "", "")
                         continue
                     bi, bj = int(best[r, 1]), int(best[r, 2])
-                    chain = traceback_local_from_dirs(
-                        dirs_at(r), bi, bj, layout="skew")
+                    chain = chains[r] if chains is not None else \
+                        traceback_local_from_dirs(
+                            dirs[r] if pair_axis == 0 else dirs[:, r, :],
+                            bi, bj, layout="skew")
                     sa = next(i for (i, _, t) in chain if t in (1, 3))
                     sb = next(j for (_, j, t) in chain if t in (1, 2))
                     results[k] = LocalAlignmentResult(

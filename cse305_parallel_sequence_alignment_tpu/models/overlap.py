@@ -154,12 +154,26 @@ class OverlapBatchAligner:
                 out, dirs = overlap_dirs_batch(
                     jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
                     jnp.asarray(lb), **self._kw())
-                out, dirs = np.asarray(out), np.asarray(dirs)
+                out = np.asarray(out)
+                import jax
+                if jax.default_backend() != "cpu":
+                    # on-device walk (slow device->host link)
+                    from cse305_parallel_sequence_alignment_tpu.ops. \
+                        device_walk import walk_overlap_batch_device
+                    chains = walk_overlap_batch_device(
+                        dirs, out[:, 1].astype(np.int64),
+                        out[:, 2].astype(np.int64),
+                        out[:, 3].astype(np.int64), pair_axis=0)
+                else:
+                    dirs = np.asarray(dirs)
+                    chains = [traceback_overlap_from_dirs(
+                        dirs[r], int(out[r, 1]), int(out[r, 2]),
+                        int(out[r, 3]), layout="skew")
+                        for r in range(len(chunk))]
                 for r, k in enumerate(chunk):
                     t, ei, ej = (int(out[r, 1]), int(out[r, 2]),
                                  int(out[r, 3]))
-                    chain = traceback_overlap_from_dirs(
-                        dirs[r], t, ei, ej, layout="skew")
+                    chain = chains[r]
                     arows = [i for (i, _, tt) in chain if tt in (1, 3)]
                     bcols = [j for (_, j, tt) in chain if tt in (1, 2)]
                     results[k] = OverlapResult(

@@ -170,12 +170,27 @@ class SemiGlobalBatchAligner:
                 out, dirs = semiglobal_dirs_batch(
                     jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
                     jnp.asarray(lb), **self._kw())
-                out, dirs = np.asarray(out), np.asarray(dirs)
+                out = np.asarray(out)
+                import jax
+                if jax.default_backend() != "cpu":
+                    # keep dirs on-device; the walk happens there
+                    # (slow device->host link, see ops/device_walk.py)
+                    from cse305_parallel_sequence_alignment_tpu.ops. \
+                        device_walk import walk_semiglobal_batch_device
+                    chains = walk_semiglobal_batch_device(
+                        dirs, out[:, 1].astype(np.int64),
+                        out[:, 2].astype(np.int64),
+                        out[:, 3].astype(np.int64), pair_axis=0)
+                else:
+                    dirs = np.asarray(dirs)
+                    chains = [traceback_semiglobal_from_dirs(
+                        dirs[r], int(out[r, 1]), int(out[r, 2]),
+                        int(out[r, 3]), layout="skew")
+                        for r in range(len(chunk))]
                 for r, k in enumerate(chunk):
                     t = int(out[r, 1])
                     ei, ej = int(out[r, 2]), int(out[r, 3])
-                    chain = traceback_semiglobal_from_dirs(
-                        dirs[r], t, ei, ej, layout="skew")
+                    chain = chains[r]
                     bcols = [j for (_, j, tt) in chain if tt in (1, 2)]
                     results[k] = SemiGlobalResult(
                         score=float(out[r, 0]), chain=chain,

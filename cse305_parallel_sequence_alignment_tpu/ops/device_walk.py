@@ -6,10 +6,12 @@ moving device->host data at ~7 MB/s, so transferring a 2 kb-pair batch's
 direction matrix (hundreds of MB) costs more than a thousand fills. The
 walk itself is sequential per pair but trivially batched: one XLA
 fori_loop performs per-step gathers dirs[i+j, b, j] for all pairs at
-once and records the successor-table codes; the host replays the moves
+once and records the visited cells' codes; the host replays the moves
 (no matrix needed — the code sequence fully determines the path) with
 exactly the semantics of ops/traceback.py / the native walker
-(reference subproblem_alignment.cpp:105-172, quirks B1-B3).
+(reference subproblem_alignment.cpp:105-172, quirks B1-B3) — one device
+kernel serves the global, local, semi-global, and overlap walks, whose
+differences are pure host-side replay rules.
 
 Layout: the Pallas "skew-T" dirs (m+n+1, B, n+1-padded), pair axis 1.
 """
@@ -28,43 +30,48 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 
 
 @functools.partial(
-    __import__("jax").jit, static_argnames=("max_steps",))
-def _device_walk(dirs, la, lb, tables, *, max_steps):
-    """(B, max_steps) uint8 successor-table codes (0 = step not taken).
+    __import__("jax").jit, static_argnames=("max_steps", "pair_axis"))
+def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis):
+    """(B, max_steps) uint8: 1 + the visited cell's 2-bit code for the
+    current table (0 = step not taken).
 
-    Step semantics mirror traceback.py's parity loop: while i>0 and j>0,
-    read the current cell's code for the CURRENT table, move by the
-    current table, record the successor table.
+    While i>0 and j>0: read the current cell's code for the CURRENT
+    table, move by the current table, continue with table code+1.
+    A code of 3 (local-mode "start here") has no successor; the device
+    keeps walking diagonally — the host replay stops there, so the
+    trailing codes are dead.
     """
     import jax
     import jax.numpy as jnp
 
     # dirs' pair axis may be padded past the real batch (block rounding)
-    B = la.shape[0]
+    B = i0.shape[0]
     bidx = jnp.arange(B)
     shifts = jnp.array([0, DIR_T1_SHIFT, DIR_T2_SHIFT, DIR_T3_SHIFT],
                        jnp.int32)
 
     def step(k, state):
         i, j, t, done, ops = state
-        byte = dirs[i + j, bidx, j].astype(jnp.int32)
+        if pair_axis == 0:  # (B, m+n+1, nl) wavefront layout
+            byte = dirs[bidx, i + j, j].astype(jnp.int32)
+        else:               # (m+n+1, B, nl) pallas layout
+            byte = dirs[i + j, bidx, j].astype(jnp.int32)
         code = (byte >> shifts[t]) & 3
-        t_next = code + 1
         active = ~done
         di = jnp.where((t == 1) | (t == 3), 1, 0)
         dj = jnp.where((t == 1) | (t == 2), 1, 0)
         i2 = jnp.where(active, i - di, i)
         j2 = jnp.where(active, j - dj, j)
         ops = jax.lax.dynamic_update_slice(
-            ops, jnp.where(active, t_next, 0).astype(jnp.uint8)[:, None],
+            ops, jnp.where(active, code + 1, 0).astype(jnp.uint8)[:, None],
             (0, k))
-        t = jnp.where(active, t_next, t)
+        t = jnp.where(active, jnp.where(code >= 3, 1, code + 1), t)
         done = done | (i2 == 0) | (j2 == 0)
         return i2, j2, t, done, ops
 
-    i0 = la.astype(jnp.int32)
-    j0 = lb.astype(jnp.int32)
-    t0 = tables.astype(jnp.int32)
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    t0 = t0.astype(jnp.int32)
     done0 = (i0 == 0) | (j0 == 0)
     ops0 = jnp.zeros((B, max_steps), jnp.uint8)
     _, _, _, _, ops = jax.lax.fori_loop(
@@ -72,9 +79,23 @@ def _device_walk(dirs, la, lb, tables, *, max_steps):
     return ops
 
 
+def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1):
+    import jax.numpy as jnp
+
+    i0 = np.asarray(i0, np.int64)
+    j0 = np.asarray(j0, np.int64)
+    t0 = np.asarray(t0, np.int64)
+    max_steps = int(i0.max(initial=0) + j0.max(initial=0)) + 1
+    ops = np.asarray(_device_walk(
+        dirs_dev, jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32),
+        jnp.asarray(t0, jnp.int32), max_steps=max_steps,
+        pair_axis=pair_axis))
+    return ops, i0, j0, t0
+
+
 def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
                       offsets=None, chunk=None):
-    """Chains for every pair, walking on-device.
+    """Global-mode chains for every pair, walking on-device.
 
     Args:
       dirs_dev: device (or host) uint8 array in skew-T pallas layout
@@ -86,15 +107,7 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
         ``chunk`` (models/batch.py convention).
     Returns: list of chains (list of (i, j, t) tuples, quirk B2 zeros).
     """
-    import jax.numpy as jnp
-
-    la = np.asarray(la, np.int64)
-    lb = np.asarray(lb, np.int64)
-    tables = np.asarray(tables, np.int64)
-    max_steps = int(la.max(initial=0) + lb.max(initial=0)) + 1
-    ops = np.asarray(_device_walk(
-        dirs_dev, jnp.asarray(la, jnp.int32), jnp.asarray(lb, jnp.int32),
-        jnp.asarray(tables, jnp.int32), max_steps=max_steps))
+    ops, la, lb, tables = _run_walk(dirs_dev, la, lb, tables)
 
     chains = []
     for r in range(len(la)):
@@ -115,7 +128,7 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
         k = 0
         row = ops[r]
         while i > 0 and j > 0:
-            t_next = int(row[k])
+            t_next = int(row[k])  # global codes are 0..2: op == code+1
             k += 1
             if t == 1:
                 i -= 1
@@ -134,4 +147,100 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
                 rev.append(point(i - 1, 0, 3))
                 i -= 1
         chains.append(list(reversed(rev))[1:])
+    return chains
+
+
+def walk_local_batch_device(dirs_dev, end_i, end_j, pair_axis=1):
+    """Local-mode chains (traceback_local_from_dirs semantics)."""
+    ops, end_i, end_j, _ = _run_walk(
+        dirs_dev, end_i, end_j, np.ones(len(end_i), np.int64),
+        pair_axis=pair_axis)
+    chains = []
+    for r in range(len(end_i)):
+        if end_i[r] == 0 or end_j[r] == 0:  # empty local alignment
+            chains.append([])
+            continue
+        rev = []
+        i, j, t = int(end_i[r]), int(end_j[r]), 1
+        row = ops[r]
+        k = 0
+        while True:
+            rev.append((i, j, t) if t == 1 else
+                       ((0, j, 2) if t == 2 else (i, 0, 3)))
+            code = int(row[k]) - 1
+            k += 1
+            if t == 1 and code == 3:
+                rev.pop()
+                break
+            if t == 1:
+                pi, pj, pt = i - 1, j - 1, code + 1
+            elif t == 2:
+                pi, pj, pt = i, j - 1, code + 1
+            else:
+                pi, pj, pt = i - 1, j, code + 1
+            if pi == 0 or pj == 0:
+                break
+            # peek: the next op is exactly the predecessor cell's code
+            # for table pt (the device walk continues with pt)
+            if pt == 1 and int(row[k]) - 1 == 3:
+                break
+            i, j, t = pi, pj, pt
+        chains.append(list(reversed(rev)))
+    return chains
+
+
+def walk_semiglobal_batch_device(dirs_dev, end_t, end_i, end_j,
+                                 pair_axis=0):
+    """Semi-global chains (traceback_semiglobal_from_dirs semantics)."""
+    ops, end_i, end_j, end_t = _run_walk(dirs_dev, end_i, end_j, end_t,
+                                         pair_axis=pair_axis)
+    chains = []
+    for r in range(len(end_i)):
+        rev = []
+        i, j, t = int(end_i[r]), int(end_j[r]), int(end_t[r])
+        row = ops[r]
+        k = 0
+        while i > 0 and j > 0:
+            rev.append((i, j, t) if t == 1 else
+                       ((0, j, 2) if t == 2 else (i, 0, 3)))
+            code = int(row[k]) - 1
+            k += 1
+            if t == 1:
+                i, j = i - 1, j - 1
+            elif t == 2:
+                j = j - 1
+            else:
+                i = i - 1
+            t = code + 1
+        while i > 0:  # forced leading gap-in-B run along column 0
+            rev.append((i, 0, 3))
+            i -= 1
+        chains.append(list(reversed(rev)))
+    return chains
+
+
+def walk_overlap_batch_device(dirs_dev, end_t, end_i, end_j,
+                              pair_axis=0):
+    """Overlap-mode chains (traceback_overlap_from_dirs semantics)."""
+    ops, end_i, end_j, end_t = _run_walk(dirs_dev, end_i, end_j, end_t,
+                                         pair_axis=pair_axis)
+    chains = []
+    for r in range(len(end_i)):
+        rev = []
+        i, j, t = int(end_i[r]), int(end_j[r]), int(end_t[r])
+        row = ops[r]
+        k = 0
+        while i > 0 and j > 0:
+            rev.append((i, j, t) if t == 1 else
+                       ((0, j, 2) if t == 2 else (i, 0, 3)))
+            code = int(row[k]) - 1
+            k += 1
+            if t == 1:
+                i, j = i - 1, j - 1
+            elif t == 2:
+                j = j - 1
+            else:
+                i = i - 1
+            t = code + 1
+        chains.append(list(reversed(rev)))
     return chains

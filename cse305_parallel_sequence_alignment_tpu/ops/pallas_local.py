@@ -305,14 +305,18 @@ def pallas_sw_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
 
 def pallas_sw_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                          match=2.0, mismatch=-1.0, block_b=DEF_BLOCK_B,
-                         interpret=None):
+                         device_dirs=False, interpret=None):
     """Batched local fill emitting skew-T packed directions.
 
-    Returns (best (B, 3), dirs (m+n+1, B, n+1) uint8)."""
+    Returns (best (B, 3), dirs (m+n+1, B, n+1) uint8); with
+    ``device_dirs`` the dirs array stays on the accelerator for the
+    on-device walk (slow device->host link — see ops/device_walk.py)."""
     a_fwd, b_ext, la, lb, B, m, n, nl, block_b = _prep_sw_inputs(
         a_enc, b_enc, len_a, len_b, block_b)
     dirs, fin = _pallas_sw_dirs(
         a_fwd, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
+    if device_dirs:
+        return np.asarray(fin)[:B, :3], dirs
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]
