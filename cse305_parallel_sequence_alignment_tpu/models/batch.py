@@ -156,12 +156,16 @@ class BatchAligner:
         pair_axis 0 = (B, m+n+1, n+1) wavefront layout, 1 = (m+n+1, B,
         n+1) Pallas layout. Both are the 'skew' per-pair layout."""
         if self.matrix is not None:
+            import jax
+
             from cse305_parallel_sequence_alignment_tpu.ops.wavefront \
                 import wavefront_dirs_batch_matrix
             finals, dirs = wavefront_dirs_batch_matrix(
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
                 jnp.asarray(lb), jnp.asarray(self.matrix.table()),
                 **self._matrix_kw())
+            if jax.default_backend() != "cpu":
+                return np.asarray(finals), dirs, 0  # device walk
             return np.asarray(finals), np.asarray(dirs), 0
         if self._use_pallas():
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
@@ -281,11 +285,12 @@ class BatchAligner:
         instead of the matrix), thread-parallel native walk when libtsa
         is built, per-pair Python walk otherwise (identical output —
         tests assert equality)."""
-        if not isinstance(dirs, np.ndarray):  # device-resident (pallas)
+        if not isinstance(dirs, np.ndarray):  # device-resident
             from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
                 import walk_batch_device
             return walk_batch_device(dirs, la, lb, tables, mode=mode,
-                                     offsets=offsets, chunk=chunk)
+                                     offsets=offsets, chunk=chunk,
+                                     pair_axis=pair_axis)
         from cse305_parallel_sequence_alignment_tpu.native import walker
         out = walker.walk_batch(dirs, pair_axis, la, lb, tables,
                                 layout="skew", mode=mode)

@@ -94,7 +94,7 @@ def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1):
 
 
 def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
-                      offsets=None, chunk=None):
+                      offsets=None, chunk=None, pair_axis=1):
     """Global-mode chains for every pair, walking on-device.
 
     Args:
@@ -107,7 +107,8 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
         ``chunk`` (models/batch.py convention).
     Returns: list of chains (list of (i, j, t) tuples, quirk B2 zeros).
     """
-    ops, la, lb, tables = _run_walk(dirs_dev, la, lb, tables)
+    ops, la, lb, tables = _run_walk(dirs_dev, la, lb, tables,
+                                    pair_axis=pair_axis)
 
     chains = []
     for r in range(len(la)):
