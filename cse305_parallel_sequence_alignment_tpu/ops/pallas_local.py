@@ -122,26 +122,56 @@ def _sw_score_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
     b_ext = bext_ref[...]
     la_col = la_ref[:, 0:1].astype(jnp.float32)
     lb_col = lb_ref[:, 0:1].astype(jnp.float32)
+    jf = jj.astype(jnp.float32)
 
     zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
     diag0 = (zero_at0, _neg((block_b, nl)), _neg((block_b, nl)))
-    best0 = (jnp.zeros((block_b, 1), jnp.float32),
-             jnp.zeros((block_b, 1), jnp.float32),
-             jnp.zeros((block_b, 1), jnp.float32))
     av0 = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
 
     def body(d, carry):
-        pq, qq, best, av = carry
+        # p (diag d-1) and q (diag d-2) ride one packed carry; the
+        # running per-lane best (value | first-diagonal) rides another
+        # (>= 3 large f32 carries crash this compiler — see _pack3).
+        pq6, bvdv, av = carry
         av = _push_front(av, _char_col(a_ref, d - 1))
         t123, _ = _sw_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch,
-                                _unpack3(pq, nl), _unpack3(qq, nl),
+                                _unpack3(pq6[:, : 3 * nl], nl),
+                                _unpack3(pq6[:, 3 * nl:], nl),
                                 want_dirs=False)
-        best = _sw_update_best(best, t123[0], jj, d, la_col, lb_col)
-        return (_pack3(t123), pq, best, av)
+        # elementwise running best: strict > keeps, per lane, the
+        # EARLIEST diagonal attaining that lane's max (reduced once
+        # after the loop — no per-step cross-lane reductions)
+        bv, dv = bvdv[:, :nl], bvdv[:, nl:]
+        ii = d - jj
+        inlen = ((jj >= 1) & (ii >= 1)
+                 & (ii.astype(jnp.float32) <= la_col) & (jf <= lb_col))
+        upd = inlen & (t123[0] > bv)
+        bv = jnp.where(upd, t123[0], bv)
+        dv = jnp.where(upd, jnp.float32(d), dv)
+        return (jnp.concatenate([_pack3(t123), pq6[:, : 3 * nl]],
+                                axis=-1),
+                jnp.concatenate([bv, dv], axis=-1), av)
 
-    _, _, best, _ = jax.lax.fori_loop(
-        1, m + n + 1, body,
-        (_pack3(diag0), _neg((block_b, 3 * nl)), best0, av0))
+    pq6_0 = jnp.concatenate([_pack3(diag0), _neg((block_b, 3 * nl))],
+                            axis=-1)
+    bvdv0 = jnp.concatenate(
+        [jnp.zeros((block_b, nl), jnp.float32),
+         jnp.zeros((block_b, nl), jnp.float32)], axis=-1)
+    _, bvdv, _ = jax.lax.fori_loop(
+        1, m + n + 1, body, (pq6_0, bvdv0, av0))
+    bv, dv = bvdv[:, :nl], bvdv[:, nl:]
+    # reduce: max value; earliest diagonal among max lanes; smallest
+    # column within that diagonal (== _sw_update_best's tie order)
+    cv = jnp.max(bv, axis=-1, keepdims=True)
+    at_v = bv == cv
+    dmin = jnp.min(jnp.where(at_v, dv, _BIG_J), axis=-1, keepdims=True)
+    cj = jnp.min(jnp.where(at_v & (dv == dmin), jf, _BIG_J), axis=-1,
+                 keepdims=True)
+    zero = cv <= 0.0  # no positive cell: best stays (0, 0, 0)
+    z = jnp.zeros((block_b, 1), jnp.float32)
+    best = (jnp.where(zero, z, cv),
+            jnp.where(zero, z, dmin - cj),
+            jnp.where(zero, z, cj))
     out_ref[...] = _emit_row(list(best))
 
 

@@ -97,31 +97,6 @@ def _sg_diag_step(d, av, b_ext, jj, m, g, h, match, mismatch, p, q,
     return (t1, t2, t3), packed
 
 
-def _sg_update_best(best, t123, jj, d, la_col, lb_col):
-    """Running best over cells of row len_a (columns 1..len_b), tables
-    T1 >= T2 >= T3, then smallest column; earliest diagonal wins ties
-    across steps (strict >)."""
-    bv, bt, bj = best
-    t1, t2, t3 = t123
-    ii = d - jj
-    onrow = ((ii.astype(jnp.float32) == la_col) & (jj >= 1)
-             & (jj.astype(jnp.float32) <= lb_col))
-    neg = jnp.float32(NEG_INF)
-    cv1 = jnp.max(jnp.where(onrow, t1, neg), axis=-1, keepdims=True)
-    cv2 = jnp.max(jnp.where(onrow, t2, neg), axis=-1, keepdims=True)
-    cv3 = jnp.max(jnp.where(onrow, t3, neg), axis=-1, keepdims=True)
-    cv = jnp.maximum(jnp.maximum(cv1, cv2), cv3)
-    ct = jnp.where(cv1 >= cv, 1.0, jnp.where(cv2 >= cv, 2.0, 3.0))
-    row = jnp.where(ct == 1.0, t1, jnp.where(ct == 2.0, t2, t3))
-    jf = jj.astype(jnp.float32)
-    cj = jnp.min(jnp.where(onrow & (row == cv), jf, _BIG_J), axis=-1,
-                 keepdims=True)
-    better = cv > bv
-    return (jnp.where(better, cv, bv),
-            jnp.where(better, ct, bt),
-            jnp.where(better, cj, bj))
-
-
 def _sg_score_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
                      *, m, n, nl, g, h, match, mismatch):
     block_b = bext_ref.shape[0]
@@ -129,28 +104,47 @@ def _sg_score_kernel(a_ref, bext_ref, la_ref, lb_ref, out_ref,
     b_ext = bext_ref[...]
     la_col = la_ref[:, 0:1].astype(jnp.float32)
     lb_col = lb_ref[:, 0:1].astype(jnp.float32)
+    jf = jj.astype(jnp.float32)
+    neg_inf = jnp.float32(NEG_INF)
 
-    zero_at0 = jnp.where(jj == 0, 0.0, jnp.float32(NEG_INF))
+    zero_at0 = jnp.where(jj == 0, 0.0, neg_inf)
     diag0 = (zero_at0, _neg((block_b, nl)), _neg((block_b, nl)))
-    best0 = (jnp.full((block_b, 1), jnp.float32(NEG_INF)),
-             jnp.ones((block_b, 1), jnp.float32),
-             jnp.zeros((block_b, 1), jnp.float32))
-    best0 = _sg_update_best(best0, diag0, jj, 0, la_col, lb_col)
     av0 = jnp.full((block_b, nl), int(PAD_A), jnp.int32)
 
     def body(d, carry):
-        pq, qq, best, av = carry
+        # each last-row cell (la, j) is visited exactly once (at diagonal
+        # d = la + j), so the best-tracking is a pure elementwise capture
+        # into a packed running row, reduced once after the loop
+        pq6, rv, av = carry
         av = _push_front(av, _char_col(a_ref, d - 1))
         t123, _ = _sg_diag_step(d, av, b_ext, jj, m, g, h, match,
-                                mismatch, _unpack3(pq, nl),
-                                _unpack3(qq, nl), want_dirs=False)
-        best = _sg_update_best(best, t123, jj, d, la_col, lb_col)
-        return (_pack3(t123), pq, best, av)
+                                mismatch, _unpack3(pq6[:, : 3 * nl], nl),
+                                _unpack3(pq6[:, 3 * nl:], nl),
+                                want_dirs=False)
+        ii = d - jj
+        onrow = ((ii.astype(jnp.float32) == la_col) & (jj >= 1)
+                 & (jf <= lb_col))
+        onrow3 = jnp.concatenate([onrow] * 3, axis=-1)
+        rv = jnp.where(onrow3, _pack3(t123), rv)
+        return (jnp.concatenate([_pack3(t123), pq6[:, : 3 * nl]],
+                                axis=-1), rv, av)
 
-    _, _, best, _ = jax.lax.fori_loop(
-        1, m + n + 1, body,
-        (_pack3(diag0), _neg((block_b, 3 * nl)), best0, av0))
-    out_ref[...] = _emit_row([best[0], best[1], la_col, best[2]])
+    pq6_0 = jnp.concatenate([_pack3(diag0), _neg((block_b, 3 * nl))],
+                            axis=-1)
+    _, rv, _ = jax.lax.fori_loop(
+        1, m + n + 1, body, (pq6_0, _neg((block_b, 3 * nl)), av0))
+    rv1, rv2, rv3 = _unpack3(rv, nl)
+    # reduce with _sg_update_best's tie order: value desc, then column
+    # asc (== earliest diagonal, d = la + j), then table T1 > T2 > T3
+    cv = jnp.maximum(jnp.maximum(
+        jnp.max(rv1, axis=-1, keepdims=True),
+        jnp.max(rv2, axis=-1, keepdims=True)),
+        jnp.max(rv3, axis=-1, keepdims=True))
+    cjs = [jnp.min(jnp.where(t == cv, jf, _BIG_J), axis=-1,
+                   keepdims=True) for t in (rv1, rv2, rv3)]
+    cj = jnp.minimum(jnp.minimum(cjs[0], cjs[1]), cjs[2])
+    ct = jnp.where(cjs[0] == cj, 1.0, jnp.where(cjs[1] == cj, 2.0, 3.0))
+    out_ref[...] = _emit_row([cv, ct, la_col, cj])
 
 
 @functools.partial(
