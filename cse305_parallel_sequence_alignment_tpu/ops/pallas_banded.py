@@ -171,11 +171,20 @@ def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     lb = np.asarray(len_b, np.int64)
     for k in range(B):
         band_check(int(la[k]), int(lb[k]), w_lo, w_hi)
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _fit_block_b,
+    )
+
     W = w_lo + w_hi + 1
     Wl = -(-W // 128) * 128
+    ma = max(-(-m // 128) * 128, 128)
+    # narrow bands leave the VPU underfed at the default block: grow the
+    # batch block as far as VMEM allows (few Wl-wide carries -> cheap)
+    bw = n + 1 + 2 * Wl + 2
+    block_b = _fit_block_b(max(block_b, 256),
+                           2 * (ma + bw + Wl + 256) + 9 * Wl)
     Bp = -(-B // block_b) * block_b
 
-    ma = max(-(-m // 128) * 128, 128)
     a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
     a_pad[:B, :m] = a_enc
     # b_ext[k, j + Wl] = B[k][j-1] for j >= 1, '-' at j == 0, PAD outside.
