@@ -309,16 +309,20 @@ def _pallas_score(a_fwd, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
 
 def _dirs_kernel(a_ref, bext_ref, lbmask_ref, dsum_ref,
                  dirs_ref, fin_ref, state, fin_acc, av_state,
-                 *, m, n, nl, g, h, match, mismatch, start_type, num_d):
+                 *, m, n, nl, g, h, match, mismatch, start_type, num_d,
+                 k_steps):
+    """``k_steps`` diagonals per grid step: one-diagonal steps leave the
+    launch dominated by per-grid-step overhead (~4k steps for 2 kb
+    pairs); blocking K rows into each output DMA recovers the score
+    kernel's throughput while still streaming dirs to HBM."""
     block_b = bext_ref.shape[0]
-    d = pl.program_id(1)
+    dblk = pl.program_id(1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
     lbmask = lbmask_ref[...] != 0
     dsum_col = dsum_ref[:, 0:1]
-    slot = jax.lax.rem(d, 2)
 
-    @pl.when(d == 0)
+    @pl.when(dblk == 0)
     def _():
         t1, t2, t3 = _diag0(jj, start_type)
         state[0, 0], state[0, 1], state[0, 2] = t1, t2, t3
@@ -330,26 +334,32 @@ def _dirs_kernel(a_ref, bext_ref, lbmask_ref, dsum_ref,
                      (t1, t2, t3), lbmask, dsum_col, 0)
         fin_acc[0], fin_acc[1], fin_acc[2] = f
 
-    @pl.when(d > 0)
-    def _():
-        # p = diag d-1 lives in slot 1-slot; q = diag d-2 in slot (reused
-        # as the destination: ping-pong, no copies).
-        p = (state[1 - slot, 0], state[1 - slot, 1], state[1 - slot, 2])
-        q = (state[slot, 0], state[slot, 1], state[slot, 2])
-        av = _push_front(av_state[...], _char_col(a_ref, d - 1))
-        av_state[...] = av
-        t123, packed = _diag_step(d, av, b_ext, jj, m, g, h, match,
-                                  mismatch, start_type, p, q,
-                                  want_dirs=True)
-        state[slot, 0], state[slot, 1], state[slot, 2] = t123
-        dirs_ref[0] = packed.astype(jnp.uint8)
-        f = _capture((fin_acc[0], fin_acc[1], fin_acc[2]), t123, lbmask,
-                     dsum_col, d)
-        fin_acc[0], fin_acc[1], fin_acc[2] = f
+    for u in range(k_steps):
+        d = dblk * k_steps + u
 
-    @pl.when(d == num_d - 1)
-    def _():
-        fin_ref[...] = _emit_row([fin_acc[0], fin_acc[1], fin_acc[2]])
+        @pl.when(d > 0)
+        def _(d=d, u=u):
+            slot = jax.lax.rem(d, 2)
+            # p = diag d-1 lives in slot 1-slot; q = diag d-2 in slot
+            # (reused as the destination: ping-pong, no copies).
+            p = (state[1 - slot, 0], state[1 - slot, 1],
+                 state[1 - slot, 2])
+            q = (state[slot, 0], state[slot, 1], state[slot, 2])
+            av = _push_front(av_state[...], _char_col(a_ref, d - 1))
+            av_state[...] = av
+            t123, packed = _diag_step(d, av, b_ext, jj, m, g, h, match,
+                                      mismatch, start_type, p, q,
+                                      want_dirs=True)
+            state[slot, 0], state[slot, 1], state[slot, 2] = t123
+            dirs_ref[u] = packed.astype(jnp.uint8)
+            f = _capture((fin_acc[0], fin_acc[1], fin_acc[2]), t123,
+                         lbmask, dsum_col, d)
+            fin_acc[0], fin_acc[1], fin_acc[2] = f
+
+        @pl.when(d == num_d - 1)
+        def _():
+            fin_ref[...] = _emit_row([fin_acc[0], fin_acc[1],
+                                      fin_acc[2]])
 
 
 @functools.partial(
@@ -357,14 +367,15 @@ def _dirs_kernel(a_ref, bext_ref, lbmask_ref, dsum_ref,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "start_type", "block_b", "interpret"))
 def _pallas_dirs(a_fwd, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
-                 mismatch, start_type, block_b, interpret):
+                 mismatch, start_type, block_b, interpret, k_steps=8):
     B = a_fwd.shape[0]
     num_d = m + n + 1
-    grid = (B // block_b, num_d)
+    num_blk = -(-num_d // k_steps)
+    grid = (B // block_b, num_blk)
     kernel = functools.partial(
         _dirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
-        start_type=start_type, num_d=num_d)
+        start_type=start_type, num_d=num_d, k_steps=k_steps)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -379,13 +390,13 @@ def _pallas_dirs(a_fwd, b_ext, lbmask, dsum, *, m, n, nl, g, h, match,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, nl), lambda b, d: (d, b, 0),
+            pl.BlockSpec((k_steps, block_b, nl), lambda b, d: (d, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_d, B, nl), jnp.uint8),
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl), jnp.uint8),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ),
         scratch_shapes=[
