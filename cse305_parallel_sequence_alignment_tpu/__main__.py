@@ -244,18 +244,33 @@ def cmd_perf(args):
 
 
 def cmd_longscore(args):
-    """Score one (possibly huge) pair via the column-sharded pipeline."""
+    """Score one (possibly huge) pair.
+
+    Single device: the column-chunked Pallas fill (boundaries stay on
+    the chip). Multi-device: the column-sharded ppermute pipeline."""
     cfg = config_from_args(args)
     a, b = _resolve_pair(args, cfg)
     from cse305_parallel_sequence_alignment_tpu.core import (
+        encode_seq,
         end_table_choice,
-    )
-    from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
-        longseq_score,
     )
     import jax
     t0 = time.perf_counter()
-    finals = longseq_score(a, b, cfg.params, row_chunk=args.row_chunk)
+    if jax.device_count() == 1 and jax.default_backend() != "cpu":
+        import numpy as np
+
+        from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow \
+            import pallas_long_score_batch
+        ea = encode_seq(a) if isinstance(a, (str, bytes)) else a
+        eb = encode_seq(b) if isinstance(b, (str, bytes)) else b
+        finals = pallas_long_score_batch(
+            ea[None, :], eb[None, :],
+            np.array([len(ea)], np.int32), np.array([len(eb)], np.int32),
+            g=cfg.g, h=cfg.h, match=cfg.match, mismatch=cfg.mismatch)[0]
+    else:
+        from cse305_parallel_sequence_alignment_tpu.parallel.longseq \
+            import longseq_score
+        finals = longseq_score(a, b, cfg.params, row_chunk=args.row_chunk)
     dt = time.perf_counter() - t0
     table, score = end_table_choice(
         float(finals[0]), float(finals[1]), float(finals[2]), -1, cfg.h)

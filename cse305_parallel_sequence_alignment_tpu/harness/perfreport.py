@@ -92,6 +92,22 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
     except Exception as e:  # noqa: BLE001
         emit({"mode": "banded_score_W257", "error": str(e)})
 
+    # column-chunked long fill: dataset-scale pairs on one chip
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        pallas_long_score_batch,
+    )
+    L, B = max(lengths) * 8, 8
+    a, b, laa, lbb = _rand_batch(rng, B, L, L)
+    try:
+        dt, _ = _time_call(
+            lambda: pallas_long_score_batch(a, b, laa, lbb),
+            max(1, iters - 1))
+        emit({"mode": "longrow_score", "len": L, "batch": B,
+              "seconds": round(dt, 4),
+              "gcups": round(gcups(B * L * L, dt), 3)})
+    except Exception as e:  # noqa: BLE001
+        emit({"mode": "longrow_score", "error": str(e)})
+
     if include_longseq:
         from cse305_parallel_sequence_alignment_tpu.core import (
             ScoringParams,

@@ -99,6 +99,9 @@ class BatchAligner:
     # match/mismatch; sequences are alphabet-encoded and the fill uses
     # the matrix-lookup wavefront kernels
     matrix: object = None
+    # buckets longer than this route to the column-chunked long fill
+    # (whole-row kernels run out of VMEM past ~16 k columns)
+    long_threshold: int = 16384
 
     def _use_pallas(self):
         if self.matrix is not None:
@@ -141,6 +144,16 @@ class BatchAligner:
                 jnp.asarray(lb), jnp.asarray(self.matrix.table()),
                 **self._matrix_kw()))
         if self._use_pallas():
+            if max(a.shape[1], b.shape[1]) > self.long_threshold:
+                # beyond the whole-row kernels' VMEM reach: the
+                # column-chunked fill handles any length
+                from cse305_parallel_sequence_alignment_tpu.ops. \
+                    pallas_longrow import pallas_long_score_batch
+                try:
+                    return pallas_long_score_batch(a, b, la, lb,
+                                                   **self._kw())
+                except Exception as e:  # noqa: BLE001
+                    _pallas_fallback_warn("longrow", e)
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
                 import pallas_score_batch
             try:

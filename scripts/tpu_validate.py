@@ -132,6 +132,12 @@ def main():
                                        g=1.0, h=2.0)
     check("pallas_submat_score (blosum62)", got_sm, want_sm)
 
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        pallas_long_score_batch,
+    )
+    got_lr = pallas_long_score_batch(a, b, la, lb, chunk_cols=128, rc=32)
+    check("pallas_longrow (chunked)", got_lr, want)
+
     g, h, match, mismatch = LOCAL_PARAMS.astuple()
     want_sw = np.asarray(sw_score_batch(
         ja, jb, jla, jlb, g=g, h=h, match=match, mismatch=mismatch))
