@@ -421,13 +421,18 @@ def _lane_prefix_max(x, nl):
 
 def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
                     *, m, n, nl, g, h, match, mismatch, start_type,
-                    unroll=4):
+                    unroll=4, uniform_la=False):
     """Row-sweep score kernel: m steps of (block_b, nl) work with the
     prefix-max T2 linearization (reference P2) done in-kernel by
     log-shift sweeps. Unlike the diagonal kernel there is no wavefront
     ramp waste — every step's lanes are real columns — at the cost of
     ~log2(nl) extra max ops per row. The better of the two on hardware
-    is an empirical question (backend="pallas_rowscan" to A/B)."""
+    is an empirical question (backend="pallas_rowscan" to A/B).
+
+    ``uniform_la``: every pair's len_a equals m (the bucketed-batch
+    common case), so the per-row running capture (a 3*nl pack + select
+    each row) is skipped entirely and row m's state is read once after
+    the loop."""
     block_b = bext_ref.shape[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
     b_ext = bext_ref[...]
@@ -451,7 +456,7 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
     fin0 = jnp.where((la_col == 0) & lbmask3, _pack3((r1, r2, r3)),
                      jnp.float32(NEG_INF))
 
-    def row_step(i, t123, fin):
+    def row_step(i, t123):
         p1, p2, p3 = t123
         a_col = _char_col(a_ref, i - 1)
         fb = jnp.where(b_ext == a_col, jnp.float32(match),
@@ -467,11 +472,33 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
         omega = jg + m13 - gf - hf  # lane 0: -inf (T2 col-0 boundary)
         pm = _lane_prefix_max(omega, nl)
         t2 = jnp.where(lane0, neg_inf, pm - jg)
+        return (t1, t2, t3)
+
+    if uniform_la:
+        # no per-row capture: run exactly m rows (unrolled chunks plus a
+        # static remainder) and read the state once after the loop
+        def body(s, pq):
+            t123 = _unpack3(pq, nl)
+            for u in range(unroll):
+                t123 = row_step(s * unroll + u + 1, t123)
+            return _pack3(t123)
+
+        pq = jax.lax.fori_loop(0, m // unroll, body,
+                               _pack3((r1, r2, r3)))
+        t123 = _unpack3(pq, nl)
+        for u in range(m % unroll):
+            t123 = row_step((m // unroll) * unroll + u + 1, t123)
+        finals = [jnp.max(jnp.where(lbmask, t, neg_inf),
+                          axis=-1, keepdims=True) for t in t123]
+        out_ref[...] = _emit_row(finals)
+        return
+
+    def capture_step(i, t123, fin):
+        t123 = row_step(i, t123)
         # running elementwise capture: the cross-lane reduce happens once
         # after the loop, not every row
-        fin = jnp.where((la_col == i) & lbmask3,
-                        _pack3((t1, t2, t3)), fin)
-        return (t1, t2, t3), fin
+        fin = jnp.where((la_col == i) & lbmask3, _pack3(t123), fin)
+        return t123, fin
 
     # several rows per fori iteration amortise loop/carry bookkeeping;
     # rows past m only compute dead state (la <= m < i, so the capture
@@ -480,7 +507,7 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
         pq, fin = carry
         t123 = _unpack3(pq, nl)
         for u in range(unroll):
-            t123, fin = row_step(s * unroll + u + 1, t123, fin)
+            t123, fin = capture_step(s * unroll + u + 1, t123, fin)
         return (_pack3(t123), fin)
 
     steps = -(-m // unroll)
@@ -494,15 +521,17 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
-                     "start_type", "block_b", "interpret"))
+                     "start_type", "block_b", "interpret", "uniform_la",
+                     "unroll"))
 def _pallas_rowscan(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
-                    mismatch, start_type, block_b, interpret):
+                    mismatch, start_type, block_b, interpret,
+                    uniform_la=False, unroll=4):
     B = a_pad.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
         _rowscan_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
-        start_type=start_type)
+        start_type=start_type, uniform_la=uniform_la, unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -544,10 +573,11 @@ def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
+    uniform_la = m >= 1 and bool(np.all(np.asarray(len_a) == m))
     out = _pallas_rowscan(
         a_pad, b_ext, lbmask, la, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, start_type=start_type, block_b=block_b,
-        interpret=_default_interpret(interpret))
+        interpret=_default_interpret(interpret), uniform_la=uniform_la)
     return np.asarray(out)[:B, :3]
 
 
