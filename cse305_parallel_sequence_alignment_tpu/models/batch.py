@@ -165,9 +165,10 @@ class BatchAligner:
             jnp.asarray(lb), **self._kw()))
 
     def _dirs(self, a, b, la, lb):
-        """(finals (B,3), dirs array, pair_axis) for a padded bucket;
-        pair_axis 0 = (B, m+n+1, n+1) wavefront layout, 1 = (m+n+1, B,
-        n+1) Pallas layout. Both are the 'skew' per-pair layout."""
+        """(finals (B,3), dirs array, pair_axis, layout) for a padded
+        bucket; pair_axis 0 = pair-major, 1 = row-major arrays; layout
+        "skew" = dirs row i+j holds cell (i, j), "row" = dirs row i
+        holds cell (i, j)."""
         if self.matrix is not None:
             import jax
 
@@ -178,25 +179,33 @@ class BatchAligner:
                 jnp.asarray(lb), jnp.asarray(self.matrix.table()),
                 **self._matrix_kw())
             if jax.default_backend() != "cpu":
-                return np.asarray(finals), dirs, 0  # device walk
-            return np.asarray(finals), np.asarray(dirs), 0
+                return np.asarray(finals), dirs, 0, "skew"  # device walk
+            return np.asarray(finals), np.asarray(dirs), 0, "skew"
         if self._use_pallas():
+            # keep the (large) dirs array ON DEVICE: the traceback walks
+            # there too (ops/device_walk.py) and only 2-bit op codes come
+            # back — device->host bandwidth is the bottleneck for full
+            # alignments. The row-layout kernel is the fast path (one
+            # prefix-max row sweep instead of a ramp-wasted diagonal
+            # sweep, and half the dirs footprint).
             from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
-                import pallas_dirs_batch
+                import pallas_dirs_batch, pallas_rowdirs_batch
             try:
-                # keep the (large) dirs array ON DEVICE: the traceback
-                # walks there too (ops/device_walk.py) and only 2-bit op
-                # codes come back — device->host bandwidth is the
-                # bottleneck for full alignments
+                finals, dirs = pallas_rowdirs_batch(
+                    a, b, la, lb, device_dirs=True, **self._kw())
+                return np.asarray(finals), dirs, 1, "row"
+            except Exception as e:  # noqa: BLE001
+                _pallas_fallback_warn("rowdirs", e)
+            try:
                 finals, dirs = pallas_dirs_batch(
                     a, b, la, lb, device_dirs=True, **self._kw())
-                return np.asarray(finals), dirs, 1
+                return np.asarray(finals), dirs, 1, "skew"
             except Exception as e:  # noqa: BLE001
                 _pallas_fallback_warn("dirs", e)
         finals, dirs = wavefront_dirs_batch(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
             jnp.asarray(lb), **self._kw())
-        return np.asarray(finals), np.asarray(dirs), 0
+        return np.asarray(finals), np.asarray(dirs), 0, "skew"
 
     def _kw(self):
         g, h, match, mismatch = self.params.astuple()
@@ -271,11 +280,12 @@ class BatchAligner:
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
-                finals, dirs, pair_axis = self._dirs(a, b, la, lb)
+                finals, dirs, pair_axis, layout = self._dirs(a, b, la, lb)
                 tables, scores = _end_choice_vec(finals, self.end_type,
                                                  self.params.h)
-                chains = self._walk_chunk(dirs, pair_axis, la, lb, tables,
-                                          traceback_mode, offsets, chunk)
+                chains = self._walk_chunk(dirs, pair_axis, layout, la, lb,
+                                          tables, traceback_mode, offsets,
+                                          chunk)
                 for r, k in enumerate(chunk):
                     chain = chains[r]
                     if offsets is None:
@@ -291,8 +301,8 @@ class BatchAligner:
                         end_table=int(tables[r]))
         return results
 
-    def _walk_chunk(self, dirs, pair_axis, la, lb, tables, mode, offsets,
-                    chunk):
+    def _walk_chunk(self, dirs, pair_axis, layout, la, lb, tables, mode,
+                    offsets, chunk):
         """Chains for every pair of one device chunk: on-device walk when
         the dirs array lives on the accelerator (2-bit codes come back
         instead of the matrix), thread-parallel native walk when libtsa
@@ -303,7 +313,7 @@ class BatchAligner:
                 import walk_batch_device
             return walk_batch_device(dirs, la, lb, tables, mode=mode,
                                      offsets=offsets, chunk=chunk,
-                                     pair_axis=pair_axis)
+                                     pair_axis=pair_axis, layout=layout)
         from cse305_parallel_sequence_alignment_tpu.native import walker
         out = walker.walk_batch(dirs, pair_axis, la, lb, tables,
                                 layout="skew", mode=mode)

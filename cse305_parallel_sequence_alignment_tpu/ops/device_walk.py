@@ -30,8 +30,10 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 
 
 @functools.partial(
-    __import__("jax").jit, static_argnames=("max_steps", "pair_axis"))
-def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis):
+    __import__("jax").jit,
+    static_argnames=("max_steps", "pair_axis", "layout"))
+def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
+                 layout="skew"):
     """(B, max_steps) uint8: 1 + the visited cell's 2-bit code for the
     current table (0 = step not taken).
 
@@ -52,10 +54,11 @@ def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis):
 
     def step(k, state):
         i, j, t, done, ops = state
-        if pair_axis == 0:  # (B, m+n+1, nl) wavefront layout
-            byte = dirs[bidx, i + j, j].astype(jnp.int32)
-        else:               # (m+n+1, B, nl) pallas layout
-            byte = dirs[i + j, bidx, j].astype(jnp.int32)
+        r = i + j if layout == "skew" else i
+        if pair_axis == 0:  # (B, rows, nl) wavefront layout
+            byte = dirs[bidx, r, j].astype(jnp.int32)
+        else:               # (rows, B, nl) pallas layout
+            byte = dirs[r, bidx, j].astype(jnp.int32)
         code = (byte >> shifts[t]) & 3
         active = ~done
         di = jnp.where((t == 1) | (t == 3), 1, 0)
@@ -79,7 +82,7 @@ def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis):
     return ops
 
 
-def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1):
+def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew"):
     import jax.numpy as jnp
 
     i0 = np.asarray(i0, np.int64)
@@ -89,17 +92,19 @@ def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1):
     ops = np.asarray(_device_walk(
         dirs_dev, jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32),
         jnp.asarray(t0, jnp.int32), max_steps=max_steps,
-        pair_axis=pair_axis))
+        pair_axis=pair_axis, layout=layout))
     return ops, i0, j0, t0
 
 
 def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
-                      offsets=None, chunk=None, pair_axis=1):
+                      offsets=None, chunk=None, pair_axis=1,
+                      layout="skew"):
     """Global-mode chains for every pair, walking on-device.
 
     Args:
-      dirs_dev: device (or host) uint8 array in skew-T pallas layout
-        (m+n+1, B, nl).
+      dirs_dev: device (or host) uint8 array; ``layout`` "skew" =
+        skew-T pallas layout (m+n+1, B, nl), "row" = row layout
+        (>=m+1, B, nl) with dirs[i, b, j] = cell (i, j).
       la, lb, tables: (B,) end coordinates and end tables.
       mode: "parity" (B1: stop at the edge, drop the first point) or
         "full" (emit forced edge runs to (0,0)).
@@ -108,7 +113,7 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
     Returns: list of chains (list of (i, j, t) tuples, quirk B2 zeros).
     """
     ops, la, lb, tables = _run_walk(dirs_dev, la, lb, tables,
-                                    pair_axis=pair_axis)
+                                    pair_axis=pair_axis, layout=layout)
 
     chains = []
     for r in range(len(la)):

@@ -419,6 +419,190 @@ def _lane_prefix_max(x, nl):
     return x
 
 
+def _shift_right_zero_i(x):
+    """Lane shift right on int32, filling 0."""
+    return jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), jnp.int32), x[..., :-1]], axis=-1)
+
+
+def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
+                    fin_ref, state, fin_acc,
+                    *, m, n, nl, g, h, match, mismatch, start_type,
+                    k_steps, num_rows):
+    """Row-sweep fill emitting ROW-layout packed directions.
+
+    Same mathematics as ``_rowscan_kernel`` plus per-row direction
+    extraction: the reference's traceback re-derives each cell's
+    predecessor by value comparisons (subproblem_alignment.cpp:147-169,
+    tie order B3); here the comparisons run vectorised during the fill
+    and 2-bit codes per table are packed into one byte
+    (d1 | d2<<2 | d3<<4). dirs[i, b, j] holds cell (i, j) of pair b —
+    half the footprint of the skew-T layout and ~7x the throughput of
+    the diagonal dirs kernel (measured on v5e: the rowscan form pays
+    one prefix-max instead of a ramp-wasted diagonal sweep).
+
+    d1 compares the previous row's (T1,T2,T3) at j-1 (computed
+    unshifted, then lane-shifted as int); d3 compares them at j; d2
+    compares the CURRENT row's tables at j-1 (T2's prefix-max value is
+    exactly max(T1-g-h, T2-g, T3-g-h) at j-1 — the linearization is
+    value-exact, so the comparison semantics match the reference's).
+    Lane 0 and out-of-range rows are never read by any walk, so no
+    masking is spent on them.
+    """
+    block_b = bext_ref.shape[0]
+    dblk = pl.program_id(1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    b_ext = bext_ref[...]
+    lbmask = lbmask_ref[...] != 0
+    lbmask3 = jnp.concatenate([lbmask] * 3, axis=-1)
+    la_col = la_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    lane0 = jj == 0
+    jg = gf * jj.astype(jnp.float32)
+    jgc = jg - gf - hf
+
+    @pl.when(dblk == 0)
+    def _():
+        corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+        corner2 = 0.0 if start_type == -2 else NEG_INF
+        corner3 = 0.0 if start_type == -3 else NEG_INF
+        r1 = jnp.where(lane0, jnp.float32(corner1), neg_inf)
+        r2 = jnp.where(lane0, jnp.float32(corner2),
+                       _row0_t2(jj, gf, hf, start_type))
+        r3 = jnp.where(lane0, jnp.float32(corner3), neg_inf)
+        state[0], state[1], state[2] = r1, r2, r3
+        fin_acc[...] = jnp.where((la_col == 0) & lbmask3,
+                                 _pack3((r1, r2, r3)), neg_inf)
+
+    def argmax3(c1, c2, c3):
+        return jnp.where((c1 >= c2) & (c1 >= c3), 0,
+                         jnp.where(c2 >= c3, 1, 2))
+
+    for u in range(k_steps):
+        i = dblk * k_steps + u
+
+        @pl.when(i == 0)
+        def _():
+            dirs_ref[u] = jnp.zeros((block_b, nl), jnp.int32).astype(
+                jnp.uint8)
+
+        @pl.when((i > 0) & (i < num_rows))
+        def _(i=i, u=u):
+            p1, p2, p3 = state[0], state[1], state[2]
+            a_col = _char_col(a_ref, i - 1)
+            fb = jnp.where(b_ext == a_col, jnp.float32(match),
+                           jnp.float32(mismatch))
+            mp12 = jnp.maximum(p1, p2)
+            t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+            t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
+            t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
+            m13 = _shift_right_neg(jnp.maximum(t1, t3))
+            pm = _lane_prefix_max(jgc + m13, nl)
+            t2 = pm - jg
+
+            # d1: prev row at j-1, plain tie order T1>=T2>=T3
+            d1 = _shift_right_zero_i(argmax3(p1, p2, p3))
+            # d3: prev row at j, costs offset by the shared -g-h
+            d3 = argmax3(p1, p2, p3 + hf)
+            # d2: current row at j-1 (open-from-T1, extend, open-from-T3)
+            d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
+            packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
+                (d3 << DIR_T3_SHIFT)
+            dirs_ref[u] = packed.astype(jnp.uint8)
+
+            t_pack = _pack3((t1, t2, t3))
+            fin_acc[...] = jnp.where((la_col == i) & lbmask3, t_pack,
+                                     fin_acc[...])
+            state[0], state[1], state[2] = t1, t2, t3
+
+        @pl.when(i == num_rows - 1)
+        def _():
+            finals = [jnp.max(t, axis=-1, keepdims=True)
+                      for t in _unpack3(fin_acc[...], nl)]
+            fin_ref[...] = _emit_row(finals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "start_type", "block_b", "interpret", "k_steps"))
+def _pallas_rowdirs(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
+                    mismatch, start_type, block_b, interpret, k_steps=8):
+    B = a_pad.shape[0]
+    num_rows = m + 1
+    num_blk = -(-num_rows // k_steps)
+    grid = (B // block_b, num_blk)
+    kernel = functools.partial(
+        _rowdirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch),
+        start_type=start_type, k_steps=k_steps, num_rows=num_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k_steps, block_b, nl), lambda b, d: (d, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, block_b, nl), jnp.float32),
+            pltpu.VMEM((block_b, 3 * nl), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_pad, b_ext, lbmask, la)
+
+
+def pallas_rowdirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
+                         match=1.0, mismatch=0.0, start_type=-1,
+                         block_b=DEF_BLOCK_B, device_dirs=False,
+                         interpret=None):
+    """Batched row-sweep fill emitting ROW-layout packed directions.
+
+    Returns (finals (B, 3), dirs (>=m+1, B, nl) uint8) with
+    dirs[i, b, j] = packed byte of cell (i, j) — the "rect" layout of
+    ops/traceback.py, batched. With ``device_dirs`` the matrix stays on
+    the accelerator for ops/device_walk.py (layout="row")."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    nl = -(-(n + 1) // 128) * 128
+    ma = max(-(-m // 128) * 128, 128) + 128
+    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + 13 * nl)
+    Bp = -(-B // block_b) * block_b
+    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_pad[:B, :m] = a_enc
+    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
+    b_ext[:B, 1: n + 1] = b_enc
+    lbmask = np.zeros((Bp, nl), np.int32)
+    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    la = np.full((Bp, 128), -1, np.int32)
+    la[:B] = np.asarray(len_a, np.int32)[:, None]
+    dirs, fin = _pallas_rowdirs(
+        a_pad, b_ext, lbmask, la, m=m, n=n, nl=nl, g=g, h=h, match=match,
+        mismatch=mismatch, start_type=start_type, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    if device_dirs:
+        return np.asarray(fin)[:B, :3], dirs
+    return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]
+
+
 def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
                     *, m, n, nl, g, h, match, mismatch, start_type,
                     unroll=4, uniform_la=False):

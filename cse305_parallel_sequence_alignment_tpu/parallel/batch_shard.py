@@ -143,7 +143,7 @@ class ShardedBatchAligner(BatchAligner):
         finals, dirs = _sharded_dirs(
             *dev, g=g, h=h, match=match, mismatch=mismatch,
             start_type=self.start_type, num_devices=self.num_devices)
-        return np.asarray(finals)[:B], np.asarray(dirs)[:B], 0
+        return np.asarray(finals)[:B], np.asarray(dirs)[:B], 0, "skew"
 
 
 @dataclasses.dataclass

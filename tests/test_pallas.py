@@ -64,6 +64,69 @@ def test_pallas_rowscan_matches_wavefront(start):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_rowscan_uniform_la_branch():
+    """Both kernel branches must agree: ``uniform_la`` auto-enables when
+    every len_a equals the padded width (the bucketed production case)
+    and skips the per-row capture entirely (advisor round-1 finding:
+    the default production path was untested)."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowscan_score_batch,
+    )
+    rng = np.random.default_rng(17)
+    bm, bn = 16, 21
+    a, b, la, lb, _ = make_batch(rng, 9, bm, bn)
+    la[:] = bm  # uniform: every pair's A fills the bucket width
+    for k in range(len(la)):
+        a[k, :] = np.frombuffer(
+            "".join(rng.choice(list("ACGT"), bm)).encode(), np.uint8)
+    got = pallas_rowscan_score_batch(a, b, la, lb, block_b=8,
+                                     interpret=True)
+    want = np.asarray(wavefront_score_batch(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("start", [-1, -2, 3])
+def test_pallas_rowdirs_matches_skew_dirs(start):
+    """Row-layout dirs kernel: finals and every valid cell's packed byte
+    must equal the diagonal kernel's (skew layout re-indexed)."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowdirs_batch,
+    )
+    rng = np.random.default_rng(19)
+    a, b, la, lb, _ = make_batch(rng, 7, 13, 17)
+    fin_r, dirs_r = pallas_rowdirs_batch(a, b, la, lb, start_type=start,
+                                         block_b=8, interpret=True)
+    fin_s, dirs_s = pallas_dirs_batch(a, b, la, lb, start_type=start,
+                                      block_b=8, interpret=True)
+    np.testing.assert_array_equal(fin_r, fin_s)
+    for k in range(len(la)):
+        m, n = int(la[k]), int(lb[k])
+        for i in range(1, m + 1):
+            got = dirs_r[i, k, 1: n + 1]
+            want = np.array([dirs_s[i + j, k, j] for j in range(1, n + 1)])
+            np.testing.assert_array_equal(got, want, err_msg=f"row {i}")
+
+
+def test_pallas_rowdirs_traceback_rect():
+    """Row-layout dirs walk host-side via the 'rect' layout."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowdirs_batch,
+    )
+    rng = np.random.default_rng(21)
+    a, b, la, lb, pairs = make_batch(rng, 6, 12, 15)
+    finals, dirs = pallas_rowdirs_batch(a, b, la, lb, block_b=8,
+                                        interpret=True)
+    for k, (s1, s2) in enumerate(pairs):
+        m, n = int(la[k]), int(lb[k])
+        chain, table, score = traceback_from_dirs(
+            dirs[: m + 1, k, : n + 1], finals[k], m, n, h=2.0,
+            end_type=-1, layout="rect")
+        want = oracle_align(s1, s2, parity_swap=False)
+        assert chain == want.chain, (s1, s2)
+        assert score == want.score
+
+
 def test_pallas_dirs_traceback_matches_oracle():
     rng = np.random.default_rng(12)
     a, b, la, lb, pairs = make_batch(rng, 6, 12, 15)
