@@ -736,10 +736,11 @@ def _pallas_rowscan(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
     )(a_pad, b_ext, lbmask, la)
 
 
-def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
-                               match=1.0, mismatch=0.0, start_type=-1,
-                               block_b=DEF_BLOCK_B, interpret=None):
-    """Batched score-only row-sweep fill. Returns (B, 3) finals."""
+def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B):
+    """Host-side packing for the rowscan kernels: returns
+    ((a_pad, b_ext, lbmask, la), dict(m, n, nl, block_b, uniform_la)).
+    Split out so callers that re-dispatch on resident inputs (bench,
+    streaming) pay the packing and upload once."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -758,10 +759,20 @@ def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     uniform_la = m >= 1 and bool(np.all(np.asarray(len_a) == m))
+    meta = dict(m=m, n=n, nl=nl, block_b=block_b, uniform_la=uniform_la)
+    return (a_pad, b_ext, lbmask, la), meta
+
+
+def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
+                               match=1.0, mismatch=0.0, start_type=-1,
+                               block_b=DEF_BLOCK_B, interpret=None):
+    """Batched score-only row-sweep fill. Returns (B, 3) finals."""
+    B = np.asarray(a_enc).shape[0]
+    args, meta = rowscan_prep(a_enc, b_enc, len_a, len_b, block_b)
     out = _pallas_rowscan(
-        a_pad, b_ext, lbmask, la, m=m, n=n, nl=nl, g=g, h=h, match=match,
-        mismatch=mismatch, start_type=start_type, block_b=block_b,
-        interpret=_default_interpret(interpret), uniform_la=uniform_la)
+        *args, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type, interpret=_default_interpret(interpret),
+        **meta)
     return np.asarray(out)[:B, :3]
 
 
