@@ -283,18 +283,30 @@ class BatchAligner:
                 finals, dirs, pair_axis, layout = self._dirs(a, b, la, lb)
                 tables, scores = _end_choice_vec(finals, self.end_type,
                                                  self.params.h)
-                chains = self._walk_chunk(dirs, pair_axis, layout, la, lb,
-                                          tables, traceback_mode, offsets,
-                                          chunk)
+                chains, arrays = self._walk_chunk(
+                    dirs, pair_axis, layout, la, lb, tables,
+                    traceback_mode, offsets, chunk)
                 for r, k in enumerate(chunk):
                     chain = chains[r]
-                    if offsets is None:
-                        row_a, row_b = format_alignment(
-                            bytes(enc_a[k]), bytes(enc_b[k]), chain)
-                    else:
+                    if offsets is not None:
                         # chain is in global coordinates; the caller
                         # renders the stitched result itself
                         row_a = row_b = None
+                    else:
+                        row_a = row_b = None
+                        if arrays is not None:
+                            from cse305_parallel_sequence_alignment_tpu \
+                                .native import walker
+                            tt, ii, jj, lens = arrays
+                            L = int(lens[r])
+                            out = walker.render(enc_a[k], enc_b[k],
+                                                tt[r, :L], ii[r, :L],
+                                                jj[r, :L])
+                            if out is not None:
+                                row_a, row_b = out
+                        if row_a is None:
+                            row_a, row_b = format_alignment(
+                                bytes(enc_a[k]), bytes(enc_b[k]), chain)
                     results[k] = AlignmentResult(
                         score=float(scores[r]), chain=chain,
                         aligned_a=row_a, aligned_b=row_b,
@@ -303,17 +315,27 @@ class BatchAligner:
 
     def _walk_chunk(self, dirs, pair_axis, layout, la, lb, tables, mode,
                     offsets, chunk):
-        """Chains for every pair of one device chunk: on-device walk when
-        the dirs array lives on the accelerator (2-bit codes come back
-        instead of the matrix), thread-parallel native walk when libtsa
-        is built, per-pair Python walk otherwise (identical output —
-        tests assert equality)."""
+        """(chains, render_arrays) for every pair of one device chunk:
+        on-device walk when the dirs array lives on the accelerator
+        (2-bit codes come back instead of the matrix), thread-parallel
+        native walk when libtsa is built, per-pair Python walk otherwise
+        (identical output — tests assert equality). ``render_arrays`` is
+        (tt, ii, jj, lens) in LOCAL coordinates for the native renderer,
+        or None (only populated when offsets is None)."""
         if not isinstance(dirs, np.ndarray):  # device-resident
             from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
-                import walk_batch_device
-            return walk_batch_device(dirs, la, lb, tables, mode=mode,
-                                     offsets=offsets, chunk=chunk,
-                                     pair_axis=pair_axis, layout=layout)
+                import _run_walk, replay_ops
+            ops, la64, lb64, t64 = _run_walk(dirs, la, lb, tables,
+                                             pair_axis=pair_axis,
+                                             layout=layout)
+            tt, ii, jj, lens = replay_ops(ops, la64, lb64, t64, mode=mode,
+                                          offsets=offsets, chunk=chunk)
+            chains = [list(zip(ii[r, : lens[r]].tolist(),
+                               jj[r, : lens[r]].tolist(),
+                               tt[r, : lens[r]].tolist()))
+                      for r in range(len(chunk))]
+            arrays = (tt, ii, jj, lens) if offsets is None else None
+            return chains, arrays
         from cse305_parallel_sequence_alignment_tpu.native import walker
         out = walker.walk_batch(dirs, pair_axis, la, lb, tables,
                                 layout="skew", mode=mode)
@@ -331,7 +353,7 @@ class BatchAligner:
                     j_r[j_r != 0] += id_b
                 chains.append(list(zip(i_r.tolist(), j_r.tolist(),
                                        t_r.tolist())))
-            return chains
+            return chains, (out if offsets is None else None)
         for r, k in enumerate(chunk):
             id_a, id_b = offsets[k] if offsets else (0, 0)
             d_r = dirs[r] if pair_axis == 0 else dirs[:, r, :]
@@ -340,4 +362,4 @@ class BatchAligner:
                 self.params.h, tables[r], id_a=id_a, id_b=id_b,
                 layout="skew", mode=mode)
             chains.append(chain)
-        return chains
+        return chains, None

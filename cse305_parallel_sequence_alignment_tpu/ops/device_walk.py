@@ -114,46 +114,92 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
     """
     ops, la, lb, tables = _run_walk(dirs_dev, la, lb, tables,
                                     pair_axis=pair_axis, layout=layout)
+    tt, ii, jj, lens = replay_ops(ops, la, lb, tables, mode=mode,
+                                  offsets=offsets, chunk=chunk)
+    return [list(zip(ii[r, : lens[r]].tolist(),
+                     jj[r, : lens[r]].tolist(),
+                     tt[r, : lens[r]].tolist()))
+            for r in range(len(la))]
 
-    chains = []
-    for r in range(len(la)):
-        if offsets is not None and chunk is not None:
-            id_a, id_b = offsets[chunk[r]]
-        else:
-            id_a, id_b = 0, 0
 
-        def point(pi, pj, t):
-            if t == 1:
-                return (pi + id_a, pj + id_b, 1)
-            if t == 2:
-                return (0, pj + id_b, 2)
-            return (pi + id_a, 0, 3)
+def replay_ops(ops, la, lb, tables, mode="parity", offsets=None,
+               chunk=None):
+    """Vectorised host replay of device-walk op codes (global mode).
 
-        i, j, t = int(la[r]), int(lb[r]), int(tables[r])
-        rev = [point(i, j, t)]
-        k = 0
-        row = ops[r]
-        while i > 0 and j > 0:
-            t_next = int(row[k])  # global codes are 0..2: op == code+1
-            k += 1
-            if t == 1:
-                i -= 1
-                j -= 1
-            elif t == 2:
-                j -= 1
-            else:
-                i -= 1
-            rev.append(point(i, j, t_next))
-            t = t_next
+    The moves are fully determined by the table sequence (t_0 = the end
+    table, t_k = ops[k-1]), so positions fall out of two cumulative sums
+    instead of a per-step Python loop. Returns (tt, ii, jj, lens) with
+    pair r's chain at [r, :lens[r]] in start->end order, quirk-B2 zeros
+    and offsets applied — the layout native/walker.py's renderer takes.
+    """
+    B, L = ops.shape
+    if offsets is not None and chunk is not None:
+        offs = np.asarray([offsets[chunk[r]] for r in range(B)], np.int64)
+        id_a, id_b = offs[:, 0:1], offs[:, 1:2]
+    else:
+        id_a = id_b = np.zeros((B, 1), np.int64)
+
+    T = np.empty((B, L + 1), np.int64)
+    T[:, 0] = tables
+    T[:, 1:] = ops
+    mv = T[:, :-1]
+    di = (mv == 1) | (mv == 3)
+    dj = (mv == 1) | (mv == 2)
+    pos_i = np.empty((B, L + 1), np.int64)
+    pos_j = np.empty((B, L + 1), np.int64)
+    pos_i[:, 0] = la
+    pos_j[:, 0] = lb
+    np.subtract(la[:, None], np.cumsum(di, axis=1), out=pos_i[:, 1:])
+    np.subtract(lb[:, None], np.cumsum(dj, axis=1), out=pos_j[:, 1:])
+    # first index whose ENTRY position sits on an edge = steps taken
+    steps = np.argmax((pos_i == 0) | (pos_j == 0), axis=1)
+    # B2 (gap nodes store 0 for the gapped index) + global offsets
+    pts_i = np.where(T == 2, 0, pos_i + id_a)
+    pts_j = np.where(T == 3, 0, pos_j + id_b)
+
+    cap = L + 1 + (int(la.max(initial=0) + lb.max(initial=0))
+                   if mode == "full" else 0)
+    tt = np.zeros((B, cap), np.int64)
+    ii = np.zeros((B, cap), np.int64)
+    jj = np.zeros((B, cap), np.int64)
+    lens = np.zeros(B, np.int64)
+    for r in range(B):
+        K = int(steps[r])
+        # chain order: appended points K-1..0 reversed (the edge-entry
+        # point p_K is dropped — reference B1)
+        t_r = T[r, K - 1:: -1] if K else T[r, :0]
+        i_r = pts_i[r, K - 1:: -1] if K else pts_i[r, :0]
+        j_r = pts_j[r, K - 1:: -1] if K else pts_j[r, :0]
         if mode == "full":
-            while j > 0:
-                rev.append(point(0, j - 1, 2))
-                j -= 1
-            while i > 0:
-                rev.append(point(i - 1, 0, 3))
-                i -= 1
-        chains.append(list(reversed(rev))[1:])
-    return chains
+            # forced edge runs from the stop position (I,J) down to the
+            # corner, then the whole rev-list loses its LAST appended
+            # point — which is now the final edge-run point, so p_K
+            # stays in
+            si, sj = int(pos_i[r, K]), int(pos_j[r, K])
+            parts_t, parts_i, parts_j = [t_r], [i_r], [j_r]
+            parts_t.insert(0, np.array([T[r, K]], np.int64))
+            parts_i.insert(0, np.array([pts_i[r, K]], np.int64))
+            parts_j.insert(0, np.array([pts_j[r, K]], np.int64))
+            if sj > 0:  # gap-in-A run along row 0 (chain order: j 0..sj-1)
+                run = np.arange(0, sj, dtype=np.int64)
+                parts_t.insert(0, np.full(sj, 2, np.int64))
+                parts_i.insert(0, np.zeros(sj, np.int64))
+                parts_j.insert(0, run + id_b[r, 0])
+            if si > 0:  # gap-in-B run along column 0
+                run = np.arange(0, si, dtype=np.int64)
+                parts_t.insert(0, np.full(si, 3, np.int64))
+                parts_i.insert(0, run + id_a[r, 0])
+                parts_j.insert(0, np.zeros(si, np.int64))
+            # the chain-order FIRST element corresponds to the rev-list's
+            # last appended point, which reference B1 drops
+            t_r = np.concatenate(parts_t)[1:]
+            i_r = np.concatenate(parts_i)[1:]
+            j_r = np.concatenate(parts_j)[1:]
+        lens[r] = t_r.shape[0]
+        tt[r, : lens[r]] = t_r
+        ii[r, : lens[r]] = i_r
+        jj[r, : lens[r]] = j_r
+    return tt, ii, jj, lens
 
 
 def walk_local_batch_device(dirs_dev, end_i, end_j, pair_axis=1):
