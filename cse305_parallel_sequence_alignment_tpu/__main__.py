@@ -173,15 +173,48 @@ def cmd_experiment(args):
 
 def cmd_partition(args):
     cfg = config_from_args(args)
-    a, b = _resolve_pair(args, cfg)
+    if args.full_dataset_pair:
+        # the reference's design target: align full-length dataset pairs
+        # (13-97 kb genes) via the partition layer (partial.cpp:149,
+        # main_alignment.cpp:353-410)
+        names, seqs = _load_data(cfg)
+        order = sorted(range(len(seqs)), key=lambda k: -len(seqs[k]))
+        i, j = order[0], order[1]
+        a, b = seqs[i], seqs[j]
+        print(f"pair: {names[i].split()[0]} ({len(a)} nt) x "
+              f"{names[j].split()[0]} ({len(b)} nt)", file=sys.stderr)
+    else:
+        a, b = _resolve_pair(args, cfg)
     from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
         PartitionedAligner,
+        score_chain,
     )
-    res = PartitionedAligner(params=cfg.params, p=args.p).align(a, b)
-    print(res.aligned_a)
-    print(res.aligned_b)
+    from cse305_parallel_sequence_alignment_tpu.core import encode_seq
+    t0 = time.perf_counter()
+    aligner = PartitionedAligner(params=cfg.params, p=args.p,
+                                 fill_backend=args.fill_backend)
+    res = aligner.align(a, b)
+    dt = time.perf_counter() - t0
+    if args.full_dataset_pair:
+        # don't dump ~100 kb rows; report the verified result instead
+        ea, eb = encode_seq(a), encode_seq(b)
+        if len(ea) > len(eb):
+            ea, eb = eb, ea  # aligner's parity swap
+        chain_score = score_chain(ea, eb, res.chain, cfg.params)
+        cells = len(a) * len(b)
+        print(json.dumps({
+            "len_a": len(a), "len_b": len(b),
+            "score": res.score, "chain_score": chain_score,
+            "chain_len": len(res.chain),
+            "aligned_rows_len": len(res.aligned_a),
+            "wall_s": round(dt, 2),
+            "effective_gcups": round(cells / dt / 1e9, 3),
+        }))
+    else:
+        print(res.aligned_a)
+        print(res.aligned_b)
     if args.verbose:
-        print(f"score={res.score}", file=sys.stderr)
+        print(f"score={res.score} time={dt:.2f}s", file=sys.stderr)
     return 0
 
 
@@ -309,6 +342,8 @@ def main(argv=None):
     # honor an explicit CPU platform request even when a site hook
     # pre-registered a TPU platform override (see CLAUDE.md)
     import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_comp_cache")
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         try:
             import jax
@@ -360,7 +395,14 @@ def main(argv=None):
 
     p = sub.add_parser("partition", help="balanced-partition alignment")
     _add_pair_args(p)
-    p.add_argument("--p", type=int, default=4, help="number of segments")
+    p.add_argument("--p", type=int, default=4,
+                   help="number of segments (0 = auto from memory budget)")
+    p.add_argument("--fill-backend", default="auto",
+                   choices=["auto", "rowscan", "longrow", "sharded"],
+                   help="crossing-search fill engine")
+    p.add_argument("--full-dataset-pair", action="store_true",
+                   help="align the two longest dataset sequences at full "
+                        "length (the reference's design workload)")
     add_config_args(p)
     p.set_defaults(fn=cmd_partition)
 

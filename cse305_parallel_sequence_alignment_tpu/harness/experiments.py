@@ -48,6 +48,23 @@ def _timed_scores(aligner, pairs):
     return scores, dt
 
 
+def _write_launch_meta(csv_path, aligner, total_pairs, dt):
+    """Sidecar metadata next to each CSV: per-launch batch sizes (the
+    CSV itself stays byte-compatible with the reference's schema, so
+    attribution facts go in <name>.meta.json)."""
+    import json
+    launches = getattr(aligner, "last_launches", None) or []
+    meta = {
+        "total_pairs": total_pairs,
+        "wall_s": dt,
+        "per_pair_s": dt / max(total_pairs, 1),
+        "launches": [{"padded_m": m, "padded_n": n, "batch": b}
+                     for (m, n, b) in launches],
+    }
+    with open(csv_path[: -len(".csv")] + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+
+
 def test_input_size(names, sequences, cfg: RunConfig = RunConfig(),
                     aligner: BatchAligner | None = None):
     """Input-size experiment -> input_size_testing.csv (testing.cpp:81-166).
@@ -67,8 +84,9 @@ def test_input_size(names, sequences, cfg: RunConfig = RunConfig(),
     _, dt = _timed_scores(aligner, pairs)
     per = dt / max(len(pairs), 1)
     rows = [(j, sizes[j], per) for j in range(len(pairs))]
-    write_input_size_csv(
-        os.path.join(cfg.out_dir, "input_size_testing.csv"), rows)
+    path = os.path.join(cfg.out_dir, "input_size_testing.csv")
+    write_input_size_csv(path, rows)
+    _write_launch_meta(path, aligner, len(pairs), dt)
     return rows
 
 
@@ -106,7 +124,9 @@ def test_n_cores(names, sequences, cfg: RunConfig = RunConfig(),
         for _ in range(total):
             rows.append((j, cores, per))
             j += 1
-    write_n_cores_csv(os.path.join(cfg.out_dir, "n_cores_testing.csv"), rows)
+    path = os.path.join(cfg.out_dir, "n_cores_testing.csv")
+    write_n_cores_csv(path, rows)
+    _write_launch_meta(path, aligner, total * len(n_cores_list), 0.0)
     return rows
 
 
@@ -129,6 +149,7 @@ def test_similarity(names, sequences, cfg: RunConfig = RunConfig(),
     _, dt = _timed_scores(aligner, pairs)
     per = dt / max(len(pairs), 1)
     rows = [(j, sims[j], per) for j in range(len(pairs))]
-    write_similarity_csv(
-        os.path.join(cfg.out_dir, "similarity_testing.csv"), rows)
+    path = os.path.join(cfg.out_dir, "similarity_testing.csv")
+    write_similarity_csv(path, rows)
+    _write_launch_meta(path, aligner, len(pairs), dt)
     return rows

@@ -249,13 +249,19 @@ class BatchAligner:
         return a, b, la, lb
 
     def score_batch(self, pairs):
-        """Scores for a list of (a, b) pairs. Returns (scores, end_tables)."""
+        """Scores for a list of (a, b) pairs. Returns (scores, end_tables).
+
+        ``self.last_launches`` records the device launches of the most
+        recent call as (padded_m, padded_n, batch) tuples — the harness
+        CSVs' sidecar metadata (per-launch batch size attribution)."""
         enc_a, enc_b, buckets = self._prep(pairs)
         scores = np.zeros(len(pairs), np.float32)
         tables = np.zeros(len(pairs), np.int32)
+        self.last_launches = []
         for key, idxs in buckets.items():
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s: s + self.max_batch]
+                self.last_launches.append((key[0], key[1], len(chunk)))
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
                 finals = self._finals(a, b, la, lb)
                 tb, sc = _end_choice_vec(finals, self.end_type,

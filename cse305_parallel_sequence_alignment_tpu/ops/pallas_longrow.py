@@ -77,7 +77,7 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
                     bnd_in_ref, bnd_out_ref, fin_ref,
                     state, fin_acc, mp_carry,
                     *, m, nl_c, rc, g, h, match, mismatch, start_type,
-                    first_chunk, num_rb):
+                    first_chunk, num_rb, want_row=False):
     block_b = bchunk_ref.shape[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl_c), 1)
     b_ext = bchunk_ref[...]
@@ -107,7 +107,8 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
             r3 = jnp.where(lane0, jnp.float32(corner3), r3)
         row0 = _pack3((r1, r2, r3))
         state[...] = row0
-        fin_acc[...] = jnp.where((la3 == 0) & lbm3, row0, neg_inf)
+        cap0 = (la3 == 0) if want_row else ((la3 == 0) & lbm3)
+        fin_acc[...] = jnp.where(cap0, row0, neg_inf)
         # mp_last of row 0 at the previous chunk's last column
         # (global col cs-1): closed-form row-0 value
         csf = (cs - 1).astype(jnp.float32)
@@ -165,7 +166,8 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
         if first_chunk:
             t2 = jnp.where(lane0, neg_inf, t2)
         t_pack = _pack3((t1, t2, t3))
-        fin = jnp.where((la3 == i) & lbm3, t_pack, fin)
+        cap = (la3 == i) if want_row else ((la3 == i) & lbm3)
+        fin = jnp.where(cap, t_pack, fin)
         # boundary out, slot i-1: [max3(t), max(t1,t3), pm] at last lane
         mp_t = jnp.maximum(jnp.maximum(t1, t2), t3)
         bnd_out_ref[u] = _emit_row(
@@ -184,26 +186,32 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
 
     @pl.when(r == num_rb - 1)
     def _():
-        finals = [jnp.max(t, axis=-1, keepdims=True)
-                  for t in _unpack3(fin, nl_c)]
-        fin_ref[...] = _emit_row(finals)
+        if want_row:
+            fin_ref[...] = fin
+        else:
+            finals = [jnp.max(t, axis=-1, keepdims=True)
+                      for t in _unpack3(fin, nl_c)]
+            fin_ref[...] = _emit_row(finals)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("m", "nl_c", "rc", "g", "h", "match", "mismatch",
-                     "start_type", "first_chunk", "block_b", "interpret"))
+                     "start_type", "first_chunk", "block_b", "interpret",
+                     "want_row"))
 def _pallas_longrow(a_pad, b_chunk, lbm, la, cs, bnd_in, *, m, nl_c, rc,
                     g, h, match, mismatch, start_type, first_chunk,
-                    block_b, interpret):
+                    block_b, interpret, want_row=False):
     Bp = a_pad.shape[0]
     num_rb = -(-m // rc)
     grid = (Bp // block_b, num_rb)
     kernel = functools.partial(
         _longrow_kernel, m=m, nl_c=nl_c, rc=rc, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
-        start_type=start_type, first_chunk=first_chunk, num_rb=num_rb)
+        start_type=start_type, first_chunk=first_chunk, num_rb=num_rb,
+        want_row=want_row)
     rows_pad = num_rb * rc
+    fin_w = 3 * nl_c if want_row else 128
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -223,12 +231,12 @@ def _pallas_longrow(a_pad, b_chunk, lbm, la, cs, bnd_in, *, m, nl_c, rc,
         out_specs=(
             pl.BlockSpec((rc, block_b, 128), lambda b, r: (r, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 128), lambda b, r: (b, 0),
+            pl.BlockSpec((block_b, fin_w), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows_pad, Bp, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, fin_w), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_b, 3 * nl_c), jnp.float32),
@@ -289,3 +297,72 @@ def pallas_long_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
         fin = np.asarray(fin)[:B, :3]
         finals = np.maximum(finals, fin)
     return finals
+
+
+def _row0_closed(n, g, h, start_type):
+    """Host closed-form DP row 0 (3, n+1) — core.boundary_row0 semantics."""
+    out = np.full((3, n + 1), NEG_INF, np.float32)
+    jf = np.arange(n + 1, dtype=np.float32)
+    if start_type == -2:
+        out[1] = -g * jf
+    elif start_type not in (1, 3):
+        out[1] = -h - g * jf
+    out[0, 0] = 0.0 if start_type in (1, -1) else NEG_INF
+    out[1, 0] = 0.0 if start_type == -2 else NEG_INF
+    out[2, 0] = 0.0 if start_type == -3 else NEG_INF
+    return out
+
+
+def pallas_long_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
+                        mismatch=0.0, start_type=-1, chunk_cols=8192,
+                        rc=256, interpret=None):
+    """Last DP row (3, n+1) of one pair at kernel rate, any length.
+
+    The partition layer's crossing-search primitive
+    (parallel/partition.py crossing_on_row) for grids past the
+    whole-row kernels' VMEM reach — the capability the reference's
+    partition layer exists to provide (partial.cpp:81-163) delivered by
+    the column-chunked fill instead of full O(m*n) tables. Per chunk the
+    kernel captures row m unreduced; only (3, n+1) floats leave the
+    device.
+    """
+    a_enc = np.asarray(a_enc, np.uint8).reshape(-1)
+    b_enc = np.asarray(b_enc, np.uint8).reshape(-1)
+    m, n = a_enc.shape[0], b_enc.shape[0]
+    if m == 0:
+        return _row0_closed(n, g, h, start_type)
+    block_b = 8
+    nl_c = -(-min(chunk_cols, n + 1) // 128) * 128
+    # quantize the padded row count so bisection's shrinking subproblems
+    # reuse compiled kernels (the capture keys on la, padding rows only
+    # burn fill time)
+    rq = max(rc, min(4096, 1 << (m - 1).bit_length()))
+    num_rb = -(-(-(-m // rq) * rq) // rc)
+    rows_pad = num_rb * rc
+    interpret = _default_interpret(interpret)
+
+    ma = -(-rows_pad // 128) * 128 + 128
+    a_pad = np.full((block_b, ma), int(PAD_A), np.int32)
+    a_pad[0, :m] = a_enc
+    la = np.full((block_b, 128), -1, np.int32)
+    la[0] = m
+    b_ext_all = np.full((block_b, n + 1 + nl_c), int(PAD_B), np.int32)
+    b_ext_all[0, 1: n + 1] = b_enc
+    lbm = np.zeros((block_b, nl_c), np.int32)  # unused under want_row
+
+    row = np.empty((3, n + 1), np.float32)
+    bnd = jnp.zeros((rows_pad, block_b, 128), jnp.float32)
+    n_chunks = -(-(n + 1) // nl_c)
+    for c in range(n_chunks):
+        s = c * nl_c
+        b_chunk = np.ascontiguousarray(b_ext_all[:, s: s + nl_c])
+        cs = np.array([[s]], np.int32)
+        bnd, fin = _pallas_longrow(
+            a_pad, b_chunk, lbm, la, cs, bnd, m=rows_pad, nl_c=nl_c,
+            rc=rc, g=g, h=h, match=match, mismatch=mismatch,
+            start_type=start_type, first_chunk=(c == 0),
+            block_b=block_b, interpret=interpret, want_row=True)
+        width = min(nl_c, n + 1 - s)
+        chunk_row = np.asarray(fin[0]).reshape(3, nl_c)
+        row[:, s: s + width] = chunk_row[:, :width]
+    return row

@@ -59,6 +59,17 @@ def _lastrow_rowscan(a_enc, b_enc, params, start_type):
         mismatch=mismatch, start_type=start_type))
 
 
+def _lastrow_longrow(a_enc, b_enc, params, start_type):
+    """Column-chunked Pallas last-row fill — kernel-rate crossing
+    searches at dataset scale (13-97 kb pairs)."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        pallas_long_lastrow,
+    )
+    g, h, match, mismatch = params.astuple()
+    return pallas_long_lastrow(a_enc, b_enc, g=g, h=h, match=match,
+                               mismatch=mismatch, start_type=start_type)
+
+
 def crossing_on_row(a_enc, b_enc, i_mid, params, start_type, end_type,
                     lastrow_fn=_lastrow_rowscan):
     """Best crossing cell (j, t) on row ``i_mid`` of an optimal path.
@@ -147,30 +158,37 @@ class PartitionedAligner:
     params: ScoringParams = ScoringParams()
     p: int = 4  # 0 = auto: pick from mem_budget (O(m*n/p) per segment)
     parity_swap: bool = True
-    bucket_quantum: int = 128
+    # coarse buckets: segment shapes vary run to run, and each distinct
+    # padded shape is a fresh kernel compile
+    bucket_quantum: int = 512
     backend: str = "auto"
     # per-segment direction-matrix budget (bytes) used when p == 0
     mem_budget: int = 1 << 30
-    # crossing-point search fill: "rowscan" (single device), "sharded"
-    # (column-sharded longseq pipeline), or "auto" (sharded once the grid
-    # exceeds sharded_threshold cells)
+    # crossing-point search fill: "rowscan" (single-device XLA scan),
+    # "longrow" (column-chunked Pallas kernel, any length), "sharded"
+    # (column-sharded longseq pipeline, multi-chip), or "auto"
+    # (longrow on TPU once the grid exceeds long_threshold cells)
     fill_backend: str = "auto"
-    sharded_threshold: int = 64 * 1024 * 1024
+    long_threshold: int = 16 * 1024 * 1024
     mesh: object = None
 
     def _lastrow_fn(self, m, n):
-        use_sharded = self.fill_backend == "sharded" or (
-            self.fill_backend == "auto" and m * n > self.sharded_threshold)
-        if not use_sharded:
-            return _lastrow_rowscan
-        from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
-            longseq_lastrow,
-        )
+        if self.fill_backend == "sharded":
+            from cse305_parallel_sequence_alignment_tpu.parallel.longseq \
+                import longseq_lastrow
 
-        def fn(a_enc, b_enc, params, start_type):
-            return longseq_lastrow(a_enc, b_enc, params,
-                                   start_type=start_type, mesh=self.mesh)
-        return fn
+            def fn(a_enc, b_enc, params, start_type):
+                return longseq_lastrow(a_enc, b_enc, params,
+                                       start_type=start_type,
+                                       mesh=self.mesh)
+            return fn
+        if self.fill_backend == "longrow":
+            return _lastrow_longrow
+        if self.fill_backend == "auto" and m * n > self.long_threshold:
+            import jax
+            if jax.default_backend() == "tpu":
+                return _lastrow_longrow
+        return _lastrow_rowscan
 
     def _pick_p(self, m, n):
         """Segment count: explicit, or smallest p whose per-segment

@@ -21,7 +21,12 @@ class RunConfig:
     match: float = 1.0
     mismatch: float = 0.0
     input_size: int = 50    # truncation (testing.cpp:150)
-    test_pairs: int = 1     # input-size experiment (testing.cpp:85)
+    # input-size experiment batch. The reference HEAD hardcodes 1
+    # (testing.cpp:85) — an experiment that measures a single 50x50
+    # alignment; the shipped default is a real batch so the CSV carries
+    # meaningful device-throughput attribution. Pass --test-pairs 1 for
+    # the literal reference configuration.
+    test_pairs: int = 256
     n_cores_pairs: int = 2000   # n-cores experiment (testing.cpp:213)
     similarity_pairs: int = 2000  # similarity experiment (testing.cpp:298)
     seed: int = 0           # reference uses unseeded rand(); we seed

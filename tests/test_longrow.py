@@ -66,3 +66,23 @@ def test_batch_aligner_routes_long_buckets():
     sc, _ = ba.score_batch(pairs)
     want, _ = BatchAligner(backend="wavefront").score_batch(pairs)
     assert np.array_equal(sc, want)
+
+
+def test_long_lastrow_matches_rowscan_lastrow():
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        pallas_long_lastrow,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.rowscan import (
+        rowscan_lastrow,
+    )
+    rng = np.random.default_rng(11)
+    for (m, n, cc, rc) in [(37, 300, 128, 16), (0, 50, 128, 16),
+                           (64, 129, 128, 32)]:
+        a = rng.integers(65, 69, m).astype(np.uint8)
+        b = rng.integers(65, 69, n).astype(np.uint8)
+        for st in (-1, -2, 3):
+            want = np.asarray(rowscan_lastrow(
+                jnp.asarray(a), jnp.asarray(b), start_type=st))
+            got = pallas_long_lastrow(a, b, start_type=st, chunk_cols=cc,
+                                      rc=rc)
+            assert np.array_equal(got, want), (m, n, cc, rc, st)

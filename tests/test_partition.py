@@ -11,6 +11,7 @@ from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
     score_chain,
 )
 from cse305_parallel_sequence_alignment_tpu.core import encode_seq
+from cse305_parallel_sequence_alignment_tpu.models.batch import BatchAligner
 
 
 def rand_pair(rng, m, n):
@@ -107,3 +108,29 @@ def test_score_chain_evaluator():
     # 3 matches (A,G ... A/G? positions: (1,1) A=A +1, (2,2) G=G +1,
     # gap open+extend -3, (3,4) G=G +1, (4,5) A vs C mismatch 0 -> 0
     assert score_chain(a, b, chain) == 0.0
+
+
+def test_partition_long_dataset_pair_ci():
+    """A >=20 kb dataset pair aligned end-to-end through the partition
+    layer on CPU (VERDICT r1 item 2's CI criterion): full traceback +
+    rendered rows, stitched score equal to the chain re-score and to the
+    independent batch score fill."""
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    order = sorted(range(len(seqs)), key=lambda k: -len(seqs[k]))
+    a, b = seqs[order[0]][:20480], seqs[order[1]][:1536]
+    al = PartitionedAligner(p=4)
+    got = al.align(a, b)
+    ea, eb = encode_seq(a), encode_seq(b)
+    if len(ea) > len(eb):
+        ea, eb = eb, ea  # aligner's parity swap
+    assert got.score == score_chain(ea, eb, got.chain)
+    scores, _ = BatchAligner().score_batch([(a, b)])
+    assert got.score == scores[0]
+    assert len(got.aligned_a) == len(got.aligned_b) >= 20480
+    # rendered rows replay to the original sequences
+    assert got.aligned_a.replace("-", "") == bytes(ea).decode()
+    assert got.aligned_b.replace("-", "") == bytes(eb).decode()
