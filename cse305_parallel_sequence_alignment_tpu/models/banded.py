@@ -46,6 +46,15 @@ class BandedAligner:
     start_type: int = -1
     end_type: int = -1
     traceback_mode: str = "parity"  # "full" emits forced edge runs
+    backend: str = "auto"  # "pallas" forces the fused dirs kernel
+
+    def _use_pallas(self):
+        if self.backend == "pallas":
+            return True
+        if self.backend == "wavefront":
+            return False
+        import jax
+        return jax.default_backend() == "tpu"
 
     def score(self, a, b):
         a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else a
@@ -68,12 +77,43 @@ class BandedAligner:
         m, n = len(a_enc), len(b_enc)
         band_check(m, n, self.w_lo, self.w_hi)
         g, h, match, mismatch = self.params.astuple()
-        finals, dirs = banded_dirs(
-            a_enc, b_enc, self.w_lo, self.w_hi, g=g, h=h, match=match,
-            mismatch=mismatch, start_type=self.start_type)
-        chain, table, score = traceback_from_dirs(
-            dirs, finals, m, n, self.params.h, self.end_type,
-            layout=("band", self.w_lo), mode=self.traceback_mode)
+        chain = None
+        if self._use_pallas():
+            # fused band dirs kernel + on-device walk (the dirs matrix
+            # never crosses the device->host link)
+            import numpy as np
+
+            from cse305_parallel_sequence_alignment_tpu.core import (
+                end_table_choice,
+            )
+            from cse305_parallel_sequence_alignment_tpu.models.batch \
+                import _pallas_fallback_warn
+            from cse305_parallel_sequence_alignment_tpu.ops. \
+                device_walk import walk_batch_device
+            from cse305_parallel_sequence_alignment_tpu.ops. \
+                pallas_banded import pallas_banded_dirs_batch
+            try:
+                finals, dirs_dev = pallas_banded_dirs_batch(
+                    a_enc[None, :], b_enc[None, :], np.array([m]),
+                    np.array([n]), self.w_lo, self.w_hi, g=g, h=h,
+                    match=match, mismatch=mismatch,
+                    start_type=self.start_type, device_dirs=True)
+                table, score = end_table_choice(
+                    float(finals[0, 0]), float(finals[0, 1]),
+                    float(finals[0, 2]), self.end_type, self.params.h)
+                chain = walk_batch_device(
+                    dirs_dev, np.array([m]), np.array([n]),
+                    np.array([table]), mode=self.traceback_mode,
+                    pair_axis=1, layout=("band", self.w_lo))[0]
+            except Exception as e:  # noqa: BLE001
+                _pallas_fallback_warn("banded_dirs", e)
+        if chain is None:
+            finals, dirs = banded_dirs(
+                a_enc, b_enc, self.w_lo, self.w_hi, g=g, h=h, match=match,
+                mismatch=mismatch, start_type=self.start_type)
+            chain, table, score = traceback_from_dirs(
+                dirs, finals, m, n, self.params.h, self.end_type,
+                layout=("band", self.w_lo), mode=self.traceback_mode)
         row_a, row_b = format_alignment(bytes(a_enc), bytes(b_enc), chain)
         res = AlignmentResult(score=score, chain=chain, aligned_a=row_a,
                               aligned_b=row_b, end_table=table)

@@ -167,12 +167,29 @@ class SemiGlobalBatchAligner:
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s: s + self.max_batch]
                 a, b, la, lb = self._arrays(enc_a, enc_b, chunk, key)
-                out, dirs = semiglobal_dirs_batch(
-                    jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
-                    jnp.asarray(lb), **self._kw())
-                out = np.asarray(out)
+                out = dirs = None
+                pair_axis, layout = 0, "skew"
+                if self._use_pallas():
+                    # fused row-sweep dirs kernel (ROW layout, on-device)
+                    from cse305_parallel_sequence_alignment_tpu.models. \
+                        batch import _pallas_fallback_warn
+                    from cse305_parallel_sequence_alignment_tpu.ops. \
+                        pallas_semiglobal import (
+                            pallas_semiglobal_dirs_batch,
+                        )
+                    try:
+                        out, dirs = pallas_semiglobal_dirs_batch(
+                            a, b, la, lb, device_dirs=True, **self._kw())
+                        pair_axis, layout = 1, "row"
+                    except Exception as e:  # noqa: BLE001
+                        _pallas_fallback_warn("semiglobal_dirs", e)
+                if out is None:
+                    out, dirs = semiglobal_dirs_batch(
+                        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+                        jnp.asarray(lb), **self._kw())
+                    out = np.asarray(out)
                 import jax
-                if jax.default_backend() != "cpu":
+                if jax.default_backend() != "cpu" or layout == "row":
                     # keep dirs on-device; the walk happens there
                     # (slow device->host link, see ops/device_walk.py)
                     from cse305_parallel_sequence_alignment_tpu.ops. \
@@ -180,7 +197,8 @@ class SemiGlobalBatchAligner:
                     chains = walk_semiglobal_batch_device(
                         dirs, out[:, 1].astype(np.int64),
                         out[:, 2].astype(np.int64),
-                        out[:, 3].astype(np.int64), pair_axis=0)
+                        out[:, 3].astype(np.int64), pair_axis=pair_axis,
+                        layout=layout)
                 else:
                     dirs = np.asarray(dirs)
                     chains = [traceback_semiglobal_from_dirs(

@@ -54,11 +54,16 @@ def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
 
     def step(k, state):
         i, j, t, done, ops = state
-        r = i + j if layout == "skew" else i
+        if layout == "skew":
+            r, c = i + j, j
+        elif layout == "row":
+            r, c = i, j
+        else:  # ("band", w_lo): dirs[i, j - i + w_lo]
+            r, c = i, j - i + layout[1]
         if pair_axis == 0:  # (B, rows, nl) wavefront layout
-            byte = dirs[bidx, r, j].astype(jnp.int32)
+            byte = dirs[bidx, r, c].astype(jnp.int32)
         else:               # (rows, B, nl) pallas layout
-            byte = dirs[r, bidx, j].astype(jnp.int32)
+            byte = dirs[r, bidx, c].astype(jnp.int32)
         code = (byte >> shifts[t]) & 3
         active = ~done
         di = jnp.where((t == 1) | (t == 3), 1, 0)
@@ -242,10 +247,11 @@ def walk_local_batch_device(dirs_dev, end_i, end_j, pair_axis=1):
 
 
 def walk_semiglobal_batch_device(dirs_dev, end_t, end_i, end_j,
-                                 pair_axis=0):
+                                 pair_axis=0, layout="skew"):
     """Semi-global chains (traceback_semiglobal_from_dirs semantics)."""
     ops, end_i, end_j, end_t = _run_walk(dirs_dev, end_i, end_j, end_t,
-                                         pair_axis=pair_axis)
+                                         pair_axis=pair_axis,
+                                         layout=layout)
     chains = []
     for r in range(len(end_i)):
         rev = []
@@ -272,10 +278,11 @@ def walk_semiglobal_batch_device(dirs_dev, end_t, end_i, end_j,
 
 
 def walk_overlap_batch_device(dirs_dev, end_t, end_i, end_j,
-                              pair_axis=0):
+                              pair_axis=0, layout="skew"):
     """Overlap-mode chains (traceback_overlap_from_dirs semantics)."""
     ops, end_i, end_j, end_t = _run_walk(dirs_dev, end_i, end_j, end_t,
-                                         pair_axis=pair_axis)
+                                         pair_axis=pair_axis,
+                                         layout=layout)
     chains = []
     for r in range(len(end_i)):
         rev = []

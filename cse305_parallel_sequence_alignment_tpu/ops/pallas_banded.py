@@ -156,6 +156,235 @@ def _pallas_banded(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl, g, h,
     )(a_pad, b_ext, bv0, la, lb)
 
 
+def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
+                        dirs_ref, out_ref, state, fin_acc, bv_state,
+                        *, m, n, w_lo, W, Wl, g, h, match, mismatch,
+                        start_type, k_steps, num_rows):
+    """Banded fill emitting band-layout packed directions.
+
+    dirs[i, b, l] = packed byte of cell (i, j = i - w_lo + l) — the
+    ("band", w_lo) layout of ops/traceback.py, batched. Direction codes
+    are byte-identical to ops/banded.py's XLA fill (same argmax tie
+    order; d2 compares the current row at lane l-1, d1 the previous row
+    at the SAME lane — the band window slides one column per row)."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _shift_right_zero_i,
+    )
+    from cse305_parallel_sequence_alignment_tpu.core import (
+        DIR_T1_SHIFT,
+        DIR_T2_SHIFT,
+        DIR_T3_SHIFT,
+    )
+    block_b = bv0_ref.shape[0]
+    dblk = pl.program_id(1)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wl), 1)
+    la_col = la_ref[:, 0:1]
+    lb_col = lb_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+
+    def col0_t3(i):
+        if start_type == -3:
+            return -gf * jnp.float32(i)
+        if start_type in (1, 2):
+            return neg_inf
+        return -hf - gf * jnp.float32(i)
+
+    def capture(finals, t123, i):
+        j_lane = i - w_lo + ll
+        capm = (la_col == i) & (j_lane == lb_col) & (ll < W)
+        picks = [jnp.max(jnp.where(capm, t, neg_inf), axis=-1,
+                         keepdims=True) for t in t123]
+        cap = la_col == i
+        return [jnp.where(cap, p, f) for p, f in zip(picks, finals)]
+
+    @pl.when(dblk == 0)
+    def _():
+        j_row0 = ll - w_lo
+        in0 = (j_row0 >= 0) & (j_row0 <= n) & (ll < W)
+        corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+        corner2 = 0.0 if start_type == -2 else NEG_INF
+        corner3 = 0.0 if start_type == -3 else NEG_INF
+        at_c = j_row0 == 0
+        r1 = jnp.where(in0 & at_c, jnp.float32(corner1), neg_inf)
+        r2 = jnp.where(
+            in0, jnp.where(at_c, jnp.float32(corner2),
+                           _row0_t2(j_row0, gf, hf, start_type)),
+            neg_inf)
+        r3 = jnp.where(in0 & at_c, jnp.float32(corner3), neg_inf)
+        state[...] = _pack3((r1, r2, r3))
+        bv_state[...] = bv0_ref[...]
+        f = capture([_neg((block_b, 1))] * 3, (r1, r2, r3), 0)
+        fin_acc[0], fin_acc[1], fin_acc[2] = f
+
+    def argmax3(c1, c2, c3):
+        return jnp.where((c1 >= c2) & (c1 >= c3), 0,
+                         jnp.where(c2 >= c3, 1, 2))
+
+    for u in range(k_steps):
+        i = dblk * k_steps + u
+
+        @pl.when(i == 0)
+        def _():
+            dirs_ref[u] = jnp.zeros((block_b, Wl), jnp.int32).astype(
+                jnp.uint8)
+
+        @pl.when((i > 0) & (i < num_rows))
+        def _(i=i, u=u):
+            p1, p2, p3 = _unpack3(state[...], Wl)
+            j_lane = i - w_lo + ll
+            inband = (j_lane >= 1) & (j_lane <= n) & (ll < W)
+            jf = j_lane.astype(jnp.float32)
+
+            b_in = _char_col(bext_ref, i - w_lo + 2 * Wl - 1)
+            bv = jnp.concatenate([bv_state[:, 1:], b_in], axis=-1)
+            bv_state[...] = bv
+            a_col = _char_col(a_ref, i - 1)
+            fb = jnp.where(bv == a_col, jnp.float32(match),
+                           jnp.float32(mismatch))
+
+            u1 = jnp.concatenate([p1[:, 1:], _neg((block_b, 1))], axis=-1)
+            u2 = jnp.concatenate([p2[:, 1:], _neg((block_b, 1))], axis=-1)
+            u3 = jnp.concatenate([p3[:, 1:], _neg((block_b, 1))], axis=-1)
+
+            t1 = fb + jnp.maximum(jnp.maximum(p1, p2), p3)
+            t3 = jnp.maximum(jnp.maximum(u1, u2) - gf - hf, u3 - gf)
+            t1 = jnp.where(inband, t1, neg_inf)
+            t3 = jnp.where((j_lane == 0) & (ll < W), col0_t3(i),
+                           jnp.where(inband, t3, neg_inf))
+
+            m13 = jnp.maximum(t1, t3)
+            m_prev = jnp.concatenate([_neg((block_b, 1)), m13[:, :-1]],
+                                     axis=-1)
+            omega = jnp.where(inband, jf * gf + m_prev - gf - hf,
+                              neg_inf)
+            pm = _lane_prefix_max(omega, Wl)
+            t2 = jnp.where(inband, pm - jf * gf, neg_inf)
+
+            d1 = argmax3(p1, p2, p3)
+            d3 = argmax3(u1, u2, u3 + hf)
+            d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
+            packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
+                (d3 << DIR_T3_SHIFT)
+            # mask to each pair's true rectangle so the emitted bytes
+            # are byte-identical to the per-pair XLA fill (cells past
+            # lb/la are in-band at the padded (m, n) but unreachable)
+            inpair = inband & (j_lane <= lb_col) & (i <= la_col)
+            packed = jnp.where(inpair, packed, 0)
+            dirs_ref[u] = packed.astype(jnp.uint8)
+
+            f = capture([fin_acc[0], fin_acc[1], fin_acc[2]],
+                        (t1, t2, t3), i)
+            fin_acc[0], fin_acc[1], fin_acc[2] = f
+            state[...] = _pack3((t1, t2, t3))
+
+        @pl.when(i == num_rows - 1)
+        def _():
+            out_ref[...] = _emit_row([fin_acc[0], fin_acc[1],
+                                      fin_acc[2]])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "w_lo", "W", "Wl", "g", "h", "match",
+                     "mismatch", "start_type", "block_b", "interpret",
+                     "k_steps"))
+def _pallas_banded_dirs(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl,
+                        g, h, match, mismatch, start_type, block_b,
+                        interpret, k_steps=32):
+    B = a_pad.shape[0]
+    num_rows = m + 1
+    num_blk = -(-num_rows // k_steps)
+    grid = (B // block_b, num_blk)
+    kernel = functools.partial(
+        _banded_dirs_kernel, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=float(g),
+        h=float(h), match=float(match), mismatch=float(mismatch),
+        start_type=start_type, k_steps=k_steps, num_rows=num_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, b_ext.shape[1]), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Wl), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k_steps, block_b, Wl), lambda b, d: (d, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, Wl), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 3 * Wl), jnp.float32),
+            pltpu.VMEM((3, block_b, 1), jnp.float32),
+            pltpu.VMEM((block_b, Wl), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a_pad, b_ext, bv0, la, lb)
+
+
+def pallas_banded_dirs_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
+                             g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                             start_type=-1, block_b=DEF_BLOCK_B,
+                             device_dirs=False, interpret=None):
+    """Batched banded fill emitting band-layout packed directions.
+
+    Returns (finals (B, 3), dirs (>=m+1, B, Wl) uint8) with
+    dirs[i, b, j - i + w_lo] = packed byte of cell (i, j) — batched
+    ("band", w_lo) layout. With ``device_dirs`` the matrix stays on the
+    accelerator for ops/device_walk.py (layout=("band", w_lo))."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    la = np.asarray(len_a, np.int64)
+    lb = np.asarray(len_b, np.int64)
+    for k in range(B):
+        band_check(int(la[k]), int(lb[k]), w_lo, w_hi)
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _fit_block_b,
+    )
+
+    W = w_lo + w_hi + 1
+    Wl = -(-W // 128) * 128
+    ma = max(-(-m // 128) * 128, 128)
+    bw = n + 1 + 2 * Wl + 2
+    block_b = _fit_block_b(max(block_b, 128),
+                           2 * (ma + bw + Wl + 256) + 14 * Wl)
+    Bp = -(-B // block_b) * block_b
+
+    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_pad[:B, :m] = a_enc
+    width = max(n + 1 + 2 * Wl + 2, m - w_lo + 2 * Wl)
+    width = -(-width // 128) * 128
+    b_ext = np.full((Bp, width), int(PAD_B), np.int32)
+    b_ext[:B, Wl] = ord("-")
+    b_ext[:B, Wl + 1: Wl + 1 + n] = b_enc
+    bv0 = np.ascontiguousarray(b_ext[:, Wl - w_lo: 2 * Wl - w_lo])
+    la_t = np.full((Bp, 128), -1, np.int32)
+    la_t[:B] = la[:, None].astype(np.int32)
+    lb_t = np.full((Bp, 128), -1, np.int32)
+    lb_t[:B] = lb[:, None].astype(np.int32)
+    dirs, out = _pallas_banded_dirs(
+        a_pad, b_ext, bv0, la_t, lb_t, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl,
+        g=g, h=h, match=match, mismatch=mismatch, start_type=start_type,
+        block_b=block_b, interpret=_default_interpret(interpret))
+    if device_dirs:
+        return np.asarray(out)[:B, :3], dirs
+    return np.asarray(out)[:B, :3], np.asarray(dirs)[:, :B, :]
+
+
 def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
                               g=1.0, h=2.0, match=1.0, mismatch=0.0,
                               start_type=-1, block_b=DEF_BLOCK_B,

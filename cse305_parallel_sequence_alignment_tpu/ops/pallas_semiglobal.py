@@ -190,3 +190,181 @@ def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
         mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     return np.asarray(out)[:B, :4]
+
+
+def _sg_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
+                       out_ref, state, fin_acc,
+                       *, m, n, nl, g, h, match, mismatch, k_steps,
+                       num_rows):
+    """Row-sweep semi-global fill emitting ROW-layout packed directions.
+
+    The global row-dirs kernel (ops/pallas_fill.py _rowdirs_kernel) with
+    the semi-global boundary (T1 row 0 free/zero — reference
+    ops/semiglobal.py semantics) and the last-row best reduce of
+    _sg_score_kernel (value desc, column asc, table T1>T2>T3) instead of
+    a corner capture. Directions pack identically, so the device walk
+    and host traceback_semiglobal_from_dirs consume them unchanged
+    (layout="row")."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _lane_prefix_max,
+        _shift_right_zero_i,
+    )
+    block_b = bext_ref.shape[0]
+    dblk = pl.program_id(1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    b_ext = bext_ref[...]
+    la_col = la_ref[:, 0:1]
+    lb_col = lb_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    jg = gf * jj.astype(jnp.float32)
+    jgc = jg - gf - hf
+    la3 = jnp.concatenate(
+        [jnp.broadcast_to(la_col, (block_b, nl))] * 3, axis=-1)
+
+    @pl.when(dblk == 0)
+    def _():
+        r1 = jnp.zeros((block_b, nl), jnp.float32)  # free first row
+        r2 = _neg((block_b, nl))
+        r3 = _neg((block_b, nl))
+        state[0], state[1], state[2] = r1, r2, r3
+        fin_acc[...] = jnp.where(la3 == 0, _pack3((r1, r2, r3)), neg_inf)
+
+    def argmax3(c1, c2, c3):
+        return jnp.where((c1 >= c2) & (c1 >= c3), 0,
+                         jnp.where(c2 >= c3, 1, 2))
+
+    for u in range(k_steps):
+        i = dblk * k_steps + u
+
+        @pl.when(i == 0)
+        def _():
+            dirs_ref[u] = jnp.zeros((block_b, nl), jnp.int32).astype(
+                jnp.uint8)
+
+        @pl.when((i > 0) & (i < num_rows))
+        def _(i=i, u=u):
+            p1, p2, p3 = state[0], state[1], state[2]
+            a_col = _char_col(a_ref, i - 1)
+            fb = jnp.where(b_ext == a_col, jnp.float32(match),
+                           jnp.float32(mismatch))
+            mp12 = jnp.maximum(p1, p2)
+            t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+            t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
+            t3 = jnp.where(jj == 0, -hf - gf * i, t3)
+            m13 = _shift_right_neg(jnp.maximum(t1, t3))
+            pm = _lane_prefix_max(jgc + m13, nl)
+            t2 = pm - jg
+
+            d1 = _shift_right_zero_i(argmax3(p1, p2, p3))
+            d3 = argmax3(p1, p2, p3 + hf)
+            d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
+            packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
+                (d3 << DIR_T3_SHIFT)
+            dirs_ref[u] = packed.astype(jnp.uint8)
+
+            fin_acc[...] = jnp.where(la3 == i, _pack3((t1, t2, t3)),
+                                     fin_acc[...])
+            state[0], state[1], state[2] = t1, t2, t3
+
+        @pl.when(i == num_rows - 1)
+        def _():
+            rv1, rv2, rv3 = _unpack3(fin_acc[...], nl)
+            jf = jj.astype(jnp.float32)
+            live = (jj >= 1) & (jj <= lb_col)
+            rv1 = jnp.where(live, rv1, neg_inf)
+            rv2 = jnp.where(live, rv2, neg_inf)
+            rv3 = jnp.where(live, rv3, neg_inf)
+            cv = jnp.maximum(jnp.maximum(
+                jnp.max(rv1, axis=-1, keepdims=True),
+                jnp.max(rv2, axis=-1, keepdims=True)),
+                jnp.max(rv3, axis=-1, keepdims=True))
+            cjs = [jnp.min(jnp.where(t == cv, jf, _BIG_J), axis=-1,
+                           keepdims=True) for t in (rv1, rv2, rv3)]
+            cj = jnp.minimum(jnp.minimum(cjs[0], cjs[1]), cjs[2])
+            ct = jnp.where(cjs[0] == cj, 1.0,
+                           jnp.where(cjs[1] == cj, 2.0, 3.0))
+            out_ref[...] = _emit_row(
+                [cv, ct, la_ref[:, 0:1].astype(jnp.float32), cj])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "block_b", "interpret", "k_steps"))
+def _pallas_sg_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
+                       mismatch, block_b, interpret, k_steps=8):
+    B = a_pad.shape[0]
+    num_rows = m + 1
+    num_blk = -(-num_rows // k_steps)
+    grid = (B // block_b, num_blk)
+    kernel = functools.partial(
+        _sg_rowdirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch), k_steps=k_steps,
+        num_rows=num_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k_steps, block_b, nl), lambda b, d: (d, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, block_b, nl), jnp.float32),
+            pltpu.VMEM((block_b, 3 * nl), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_pad, b_ext, la, lb)
+
+
+def pallas_semiglobal_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0,
+                                 h=2.0, match=1.0, mismatch=-1.0,
+                                 block_b=DEF_BLOCK_B, device_dirs=False,
+                                 interpret=None):
+    """Batched semi-global fill emitting ROW-layout packed directions.
+
+    Returns (out (B, 4) [score, end_table, end_i, end_j],
+    dirs (>=m+1, B, nl) uint8 with dirs[i, b, j] = cell (i, j))."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _fit_block_b,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_B
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    nl = -(-(n + 1) // 128) * 128
+    ma = max(-(-m // 128) * 128, 128) + 128
+    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + 13 * nl)
+    Bp = -(-B // block_b) * block_b
+    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_pad[:B, :m] = a_enc
+    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
+    b_ext[:B, 1: n + 1] = b_enc
+    la = np.full((Bp, 128), -1, np.int32)
+    la[:B] = np.asarray(len_a, np.int32)[:, None]
+    lb = np.full((Bp, 128), -1, np.int32)
+    lb[:B] = np.asarray(len_b, np.int32)[:, None]
+    dirs, out = _pallas_sg_rowdirs(
+        a_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
+        mismatch=mismatch, block_b=block_b,
+        interpret=_default_interpret(interpret))
+    if device_dirs:
+        return np.asarray(out)[:B, :4], dirs
+    return np.asarray(out)[:B, :4], np.asarray(dirs)[:, :B, :]

@@ -42,9 +42,10 @@ def run(uniform, unroll=4):
     return out[:B, :3], B * m * n / dt / 1e9
 
 
-ref = None
+ref, g_cap = run(False)
+print(f"capture baseline: {g_cap:.2f} GCUPS")
 for unroll in (2, 4, 8, 16):
     uni, g_uni = run(True, unroll)
-    ok = ref is None or np.array_equal(ref, uni)
-    ref = uni
-    print(f"uniform unroll={unroll}: {g_uni:.2f} GCUPS  equal={ok}")
+    ok = np.array_equal(ref, uni)
+    print(f"uniform unroll={unroll}: {g_uni:.2f} GCUPS "
+          f"({g_uni / g_cap:.2f}x capture)  equal={ok}")

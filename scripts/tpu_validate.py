@@ -153,6 +153,42 @@ def main():
     got_sg = pallas_semiglobal_score_batch(
         a, b, la, lb, g=1.0, h=2.0, match=1.0, mismatch=-1.0)
     check("pallas_semiglobal_score", got_sg, want_sg)
+
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowdirs_batch,
+    )
+    fin_rd, dirs_rd = pallas_rowdirs_batch(a, b, la, lb)
+    check("pallas_rowdirs finals", fin_rd, want)
+    sub = [(k, i) for k in range(0, B, 9)
+           for i in range(1, int(la[k]) + 1, max(1, int(la[k]) // 7))]
+    ok_rd = all(np.array_equal(
+        np.asarray(dirs_rd[i, k, 1: int(lb[k]) + 1]),
+        np.array([dirs[i + j, k, j] for j in range(1, int(lb[k]) + 1)]))
+        for (k, i) in sub)
+    check("pallas_rowdirs bytes vs skew", ok_rd, True)
+
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_semiglobal \
+        import pallas_semiglobal_dirs_batch
+    got_sgd, _ = pallas_semiglobal_dirs_batch(
+        a, b, la, lb, g=1.0, h=2.0, match=1.0, mismatch=-1.0)
+    check("pallas_semiglobal_dirs out", got_sgd, want_sg)
+
+    from cse305_parallel_sequence_alignment_tpu.ops.banded import (
+        banded_dirs,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_banded import (
+        pallas_banded_dirs_batch,
+    )
+    fin_bd, dirs_bd = pallas_banded_dirs_batch(
+        a, b, la, lb, wband, wband)
+    ok_bd = True
+    # two pairs only: the XLA banded reference recompiles per (m, n)
+    for k in (0, 37):
+        wf, wd = banded_dirs(a[k, : la[k]], b[k, : lb[k]], wband, wband)
+        ok_bd &= np.array_equal(fin_bd[k], wf)
+        ok_bd &= np.array_equal(
+            np.asarray(dirs_bd[: la[k] + 1, k, : 2 * wband + 1]), wd)
+    check("pallas_banded_dirs vs xla", ok_bd, True)
     print(f"correctness wall: {time.time() - t0:.1f}s", flush=True)
 
     # reference-parity spot check through the full batch pipeline

@@ -100,3 +100,21 @@ def test_sg_chain_rescored():
                 score -= g + (h if tt != prev else 0.0)
             prev = tt
         assert score == res.score, (q, t, res.chain)
+
+
+def test_sg_rowdirs_align_matches_wavefront_path():
+    """backend="pallas" (interpret on CPU) routes align_batch through the
+    fused row-dirs kernel + device walk; chains/scores/CIGARs must equal
+    the XLA wavefront + host-walk path exactly."""
+    rng = np.random.default_rng(71)
+    pairs = [(rand_seq(rng, int(rng.integers(5, 30))),
+              rand_seq(rng, int(rng.integers(10, 60)))) for _ in range(7)]
+    got = SemiGlobalBatchAligner(params=PARAMS,
+                                 backend="pallas").align_batch(pairs)
+    want = SemiGlobalBatchAligner(params=PARAMS,
+                                  backend="wavefront").align_batch(pairs)
+    for g_, w_ in zip(got, want):
+        assert g_.score == w_.score
+        assert g_.chain == w_.chain
+        assert g_.cigar == w_.cigar
+        assert g_.target_span == w_.target_span
