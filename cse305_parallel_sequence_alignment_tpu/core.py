@@ -62,6 +62,59 @@ class ScoringParams:
         return (self.g, self.h, self.match, self.mismatch)
 
 
+class LazyChain:
+    """Sequence of ``(i, j, t)`` tuples materialised on first access.
+
+    ``align_batch`` produces chains for every pair, but most consumers
+    only read the rendered rows and score — building ~(m+n) Python
+    tuples per pair dominated the measured end-to-end profile (46 ms of
+    a 226 ms 128x2kb batch). The walk's compact (t, i, j) arrays are
+    held instead and turned into the list on first touch; equality,
+    iteration, indexing, and concatenation behave exactly like the
+    eager list.
+    """
+
+    __slots__ = ("_tt", "_ii", "_jj", "_list")
+
+    def __init__(self, tt, ii, jj):
+        self._tt, self._ii, self._jj = tt, ii, jj
+        self._list = None
+
+    def _mat(self):
+        if self._list is None:
+            self._list = list(zip(self._ii.tolist(), self._jj.tolist(),
+                                  self._tt.tolist()))
+            self._tt = self._ii = self._jj = None
+        return self._list
+
+    def __len__(self):
+        return (len(self._list) if self._list is not None
+                else self._tt.shape[0])
+
+    def __bool__(self):
+        return len(self) > 0
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __getitem__(self, k):
+        return self._mat()[k]
+
+    def __eq__(self, other):
+        if isinstance(other, LazyChain):
+            other = other._mat()
+        return self._mat() == other
+
+    def __add__(self, other):
+        return self._mat() + list(other)
+
+    def __radd__(self, other):
+        return list(other) + self._mat()
+
+    def __repr__(self):
+        return repr(self._mat())
+
+
 @dataclasses.dataclass
 class AlignmentResult:
     """Result of one pairwise alignment.

@@ -49,6 +49,46 @@ int main(int argc, char** argv) {
 """
 
 
+_SUBP_DRIVER_SRC = r"""
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <iostream>
+#include <string>
+#include "alignment_algorithm/subproblem_alignment.h"
+
+// Drives the reference's Subproblem directly with explicit start/end
+// boundary types (subproblem_alignment.h:36-74) -- the anchored-segment
+// semantics the partition layer stitches on. argv: p g h start end.
+int main(int argc, char** argv) {
+    size_t p = argc > 1 ? atoi(argv[1]) : 1;
+    int g = argc > 2 ? atoi(argv[2]) : 1;
+    int h = argc > 3 ? atoi(argv[3]) : 2;
+    int start = argc > 4 ? atoi(argv[4]) : -1;
+    int end = argc > 5 ? atoi(argv[5]) : -1;
+    std::string sa, sb;
+    if (!std::getline(std::cin, sa) || !std::getline(std::cin, sb)) {
+        return 1;
+    }
+    size_t m = sa.size(), n = sb.size();
+    char* A = new char[m + 2];
+    char* B = new char[n + 2];
+    A[0] = '-'; B[0] = '-';
+    memcpy(A + 1, sa.data(), m); A[m + 1] = 0;
+    memcpy(B + 1, sb.data(), n); B[n + 1] = 0;
+    Subproblem S(A, B, m, n, 0, 0, p, start, end, g, h);
+    S.compute_tables();
+    S.find_alignment();
+    printf("F %.6g %.6g %.6g\n", S.T1[S.m][S.n], S.T2[S.m][S.n],
+           S.T3[S.m][S.n]);
+    for (align* x = S.alignment_begin; x != NULL; x = x->next) {
+        printf("%zu %zu %d\n", x->i, x->j, x->t);
+    }
+    return 0;
+}
+"""
+
+
 def build_reference(ref_dir="/root/reference", work_dir=None):
     """Copy + repair + build the reference; returns the driver binary path
     or None when a toolchain/reference is unavailable."""
@@ -81,6 +121,50 @@ def build_reference(ref_dir="/root/reference", work_dir=None):
     except Exception:
         return None
     return str(driver)
+
+
+def build_subproblem_driver(ref_dir="/root/reference", work_dir=None):
+    """Build (in the shared parity workdir) a driver that runs one
+    reference Subproblem with explicit start/end types and prints its
+    finals + alignment chain. Returns the binary path or None."""
+    if not os.path.isdir(ref_dir) or shutil.which("g++") is None:
+        return None
+    # reuse build_reference's repaired tree (and trigger the repair if
+    # this is the first build in the workdir)
+    main_driver = build_reference(ref_dir, work_dir)
+    if main_driver is None:
+        return None
+    work = pathlib.Path(main_driver).parent
+    driver = work / "subp_driver"
+    if driver.exists():
+        return str(driver)
+    (work / "subp_driver.cpp").write_text(_SUBP_DRIVER_SRC)
+    cmd = ["g++", "-O2", "-pthread", "-I", str(work),
+           "-o", str(driver), str(work / "subp_driver.cpp"),
+           str(work / "alignment_algorithm" /
+               "subproblem_alignment.cpp")]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except Exception:
+        return None
+    return str(driver)
+
+
+def reference_subproblem(driver, a, b, start=-1, end=-1, p=1, g=1, h=2,
+                         timeout=300):
+    """One anchored Subproblem solve through the reference. Returns
+    ((T1,T2,T3) finals at (m,n), chain [(i, j, t), ...])."""
+    out = subprocess.run(
+        [driver, str(p), str(g), str(h), str(start), str(end)],
+        input=f"{a}\n{b}\n".encode(), capture_output=True,
+        timeout=timeout, check=True)
+    lines = out.stdout.decode().strip().splitlines()
+    finals = tuple(float(x) for x in lines[0].split()[1:4])
+    chain = []
+    for ln in lines[1:]:
+        i, j, t = ln.split()
+        chain.append((int(i), int(j), int(t)))
+    return finals, chain
 
 
 def reference_align(driver, a, b, p=8, g=1, h=2, timeout=300):

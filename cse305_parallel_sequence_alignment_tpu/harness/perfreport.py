@@ -108,11 +108,23 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
     except Exception as e:  # noqa: BLE001
         emit({"mode": "longrow_score", "error": str(e)})
 
+    # full-alignment end-to-end (fill + device walk + replay + render)
+    L, B = max(lengths), min(batches)
+    a, b, laa, lbb = _rand_batch(rng, B, L, L)
+    pairs = [(p0.tobytes().decode(), p1.tobytes().decode())
+             for p0, p1 in zip(a, b)]
+    dt, res = _time_call(lambda: ga.align_batch(pairs), iters)
+    assert all(r.aligned_a for r in res)
+    emit({"mode": "global_align_e2e", "len": L, "batch": B,
+          "seconds": round(dt, 4), "pairs_per_s": round(B / dt, 1),
+          "gcups": round(gcups(B * L * L, dt), 3)})
+
     if include_longseq:
         from cse305_parallel_sequence_alignment_tpu.core import (
             ScoringParams,
         )
         from cse305_parallel_sequence_alignment_tpu.parallel.longseq import (
+            longseq_pipeline_stats,
             longseq_score,
         )
         L = max(lengths) * 4
@@ -121,9 +133,25 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
         dt, _ = _time_call(
             lambda: longseq_score(aa, bb, ScoringParams(), row_chunk=256),
             max(1, iters - 1))
-        emit({"mode": "longseq_score", "len": L,
-              "devices": jax.device_count(), "seconds": round(dt, 4),
-              "gcups": round(gcups(L * L, dt), 3)})
+        row = {"mode": "longseq_score", "len": L,
+               "devices": jax.device_count(), "seconds": round(dt, 4),
+               "gcups": round(gcups(L * L, dt), 3)}
+        row.update({"pipeline_" + k: v for k, v in
+                    longseq_pipeline_stats(L, L, jax.device_count(),
+                                           row_chunk=256).items()
+                    if k != "devices"})
+        emit(row)
+        # degenerate 1-device mesh: isolates pipeline overhead (the gap
+        # to the same-length rowscan row above is scan/halo machinery,
+        # not parallelism)
+        from jax.sharding import Mesh
+        mesh1 = Mesh(np.array(jax.devices()[:1]), ("seq",))
+        dt1, _ = _time_call(
+            lambda: longseq_score(aa, bb, ScoringParams(), mesh=mesh1,
+                                  row_chunk=256), 1)
+        emit({"mode": "longseq_score_1dev", "len": L, "devices": 1,
+              "seconds": round(dt1, 4),
+              "gcups": round(gcups(L * L, dt1), 3)})
     return rows
 
 

@@ -12,7 +12,9 @@ comes from static shape grouping instead of dynamic thread deals.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +58,47 @@ def _round_up(x, q):
 def _encode_many(seqs):
     return [encode_seq(s) if isinstance(s, (str, bytes)) else
             np.asarray(s, np.uint8) for s in seqs]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "block_b", "g", "h", "match",
+                     "mismatch", "start_type", "end_type", "B",
+                     "max_steps", "interpret"))
+def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, la_v, lb_v, *, m, n, nl,
+                     block_b, g, h, match, mismatch, start_type,
+                     end_type, B, max_steps, interpret):
+    """One XLA program: rowdirs Pallas fill -> end-table choice ->
+    on-device walk -> 4-bit op packing. Dispatch latency (~25 ms through
+    the evaluation tunnel) and device->host bytes both halve vs separate
+    fill/walk programs; the packed ops are half the uint8 codes."""
+    from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
+        _walk_core,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _pallas_rowdirs,
+    )
+
+    dirs, fin = _pallas_rowdirs(
+        a_pad, b_ext, lbmask, la_t, m=m, n=n, nl=nl, g=g, h=h,
+        match=match, mismatch=mismatch, start_type=start_type,
+        block_b=block_b, interpret=interpret)
+    finals = fin[:B, :3]
+    f1 = finals[:, 0]
+    f2 = finals[:, 1] + (h if end_type == -2 else 0.0)
+    f3 = finals[:, 2] + (h if end_type == -3 else 0.0)
+    if end_type > 0:
+        tb = jnp.full((B,), end_type, jnp.int32)
+        sc = finals[:, end_type - 1]
+    else:
+        pick1 = (f1 >= f2) & (f1 >= f3)
+        pick2 = ~pick1 & (f2 >= f3)
+        tb = jnp.where(pick1, 1, jnp.where(pick2, 2, 3)).astype(jnp.int32)
+        sc = jnp.where(pick1, f1, jnp.where(pick2, f2, f3))
+    ops = _walk_core(dirs, la_v, lb_v, tb, max_steps=max_steps,
+                     pair_axis=1, layout="row")  # (steps_pad, B), even
+    packed = (ops[0::2] | (ops[1::2] << 4)).T  # codes <= 4: 4b each
+    return packed, tb, sc
 
 
 def _end_choice_vec(finals, end_type, h):
@@ -286,12 +329,28 @@ class BatchAligner:
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
-                finals, dirs, pair_axis, layout = self._dirs(a, b, la, lb)
-                tables, scores = _end_choice_vec(finals, self.end_type,
-                                                 self.params.h)
-                chains, arrays = self._walk_chunk(
-                    dirs, pair_axis, layout, la, lb, tables,
-                    traceback_mode, offsets, chunk)
+                fused = None
+                if self.matrix is None and self._use_pallas():
+                    # single-dispatch path: fill + end choice + walk in
+                    # ONE compiled program, ONE host round trip with
+                    # 4-bit-packed op codes — dispatch latency and
+                    # device->host bytes both first-order through the
+                    # evaluation tunnel (~25 ms/dispatch, ~9 MB/s)
+                    try:
+                        fused = self._fused_chunk(
+                            a, b, la, lb, traceback_mode, offsets, chunk)
+                    except Exception as e:  # noqa: BLE001
+                        _pallas_fallback_warn("fused_rowdirs", e)
+                if fused is not None:
+                    chains, arrays, tables, scores = fused
+                else:
+                    finals, dirs, pair_axis, layout = self._dirs(
+                        a, b, la, lb)
+                    tables, scores = _end_choice_vec(
+                        finals, self.end_type, self.params.h)
+                    chains, arrays = self._walk_chunk(
+                        dirs, pair_axis, layout, la, lb, tables,
+                        traceback_mode, offsets, chunk)
                 for r, k in enumerate(chunk):
                     chain = chains[r]
                     if offsets is not None:
@@ -318,6 +377,49 @@ class BatchAligner:
                         aligned_a=row_a, aligned_b=row_b,
                         end_table=int(tables[r]))
         return results
+
+    def _fused_chunk(self, a, b, la, lb, mode, offsets, chunk):
+        """Fill + end choice + walk as ONE compiled dispatch, ONE fetch.
+
+        Returns (chains, render_arrays, tables, scores). Chains are
+        LazyChain views (tuple building measured 46 ms of a 226 ms
+        128x2kb batch and most consumers never touch them)."""
+        import jax
+        import jax.numpy as jnp
+
+        from cse305_parallel_sequence_alignment_tpu.core import LazyChain
+        from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
+            import replay_ops
+        from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
+            import _default_interpret, rowscan_prep
+
+        args, meta = rowscan_prep(a, b, la, lb, carries=13)
+        B = len(chunk)
+        max_steps = int(la.max(initial=0) + lb.max(initial=0)) + 1
+        g, h, match, mismatch = self.params.astuple()
+        packed, tables, scores = _fused_fill_walk(
+            *args, jnp.asarray(la, jnp.int32), jnp.asarray(lb, jnp.int32),
+            m=meta["m"], n=meta["n"], nl=meta["nl"],
+            block_b=meta["block_b"], g=g, h=h, match=match,
+            mismatch=mismatch, start_type=self.start_type,
+            end_type=self.end_type, B=B, max_steps=max_steps,
+            interpret=_default_interpret(None))
+        packed, tables, scores = jax.device_get((packed, tables, scores))
+        S2 = packed.shape[1]
+        ops = np.empty((B, 2 * S2), np.uint8)
+        ops[:, 0::2] = packed & 0xF
+        ops[:, 1::2] = packed >> 4
+        tt, ii, jj, lens = replay_ops(
+            ops[:, :max_steps], np.asarray(la, np.int64),
+            np.asarray(lb, np.int64), tables.astype(np.int64), mode=mode,
+            offsets=offsets, chunk=chunk)
+        # per-row copies so a kept chain doesn't pin the (B, cap) bases
+        chains = [LazyChain(tt[r, : lens[r]].copy(),
+                            ii[r, : lens[r]].copy(),
+                            jj[r, : lens[r]].copy())
+                  for r in range(B)]
+        arrays = (tt, ii, jj, lens) if offsets is None else None
+        return chains, arrays, tables, scores.astype(np.float32)
 
     def _walk_chunk(self, dirs, pair_axis, layout, la, lb, tables, mode,
                     offsets, chunk):

@@ -29,31 +29,40 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 )
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("max_steps", "pair_axis", "layout"))
-def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
-                 layout="skew"):
-    """(B, max_steps) uint8: 1 + the visited cell's 2-bit code for the
-    current table (0 = step not taken).
+_WALK_UNROLL = 8
+
+
+def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout):
+    """Traceable walk body: returns ops as (steps_pad, B) uint8 with
+    steps_pad = max_steps rounded up to the unroll. Each entry is 1 +
+    the visited cell's 2-bit code for the current table (0 = step not
+    taken). Callers jit this (alone via _device_walk, or fused behind a
+    fill).
 
     While i>0 and j>0: read the current cell's code for the CURRENT
     table, move by the current table, continue with table code+1.
     A code of 3 (local-mode "start here") has no successor; the device
     keeps walking diagonally — the host replay stops there, so the
     trailing codes are dead.
+
+    The loop is a while over _WALK_UNROLL-step blocks: the dependent
+    per-step gathers are the cost (measured ~10us each through XLA on
+    v5e), so the loop exits as soon as every pair reached an edge
+    (typical DNA paths are ~(m+n)/2 steps, the bound is m+n) and the
+    bookkeeping amortizes over the unroll. Ops scatter
+    row-contiguously into (steps, B); the result is bit-identical to
+    the naive one-step fori version after the caller's transpose.
     """
     import jax
     import jax.numpy as jnp
 
     # dirs' pair axis may be padded past the real batch (block rounding)
     B = i0.shape[0]
-    bidx = jnp.arange(B)
+    bidx = jnp.arange(B, dtype=jnp.int32)
     shifts = jnp.array([0, DIR_T1_SHIFT, DIR_T2_SHIFT, DIR_T3_SHIFT],
                        jnp.int32)
 
-    def step(k, state):
-        i, j, t, done, ops = state
+    def one(i, j, t, done):
         if layout == "skew":
             r, c = i + j, j
         elif layout == "row":
@@ -70,21 +79,47 @@ def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
         dj = jnp.where((t == 1) | (t == 2), 1, 0)
         i2 = jnp.where(active, i - di, i)
         j2 = jnp.where(active, j - dj, j)
+        rec = jnp.where(active, code + 1, 0).astype(jnp.uint8)
+        t2 = jnp.where(active, jnp.where(code >= 3, 1, code + 1), t)
+        done2 = done | (i2 == 0) | (j2 == 0)
+        return i2, j2, t2, done2, rec
+
+    U = _WALK_UNROLL
+    nblk = -(-max_steps // U)
+
+    def cond(state):
+        _, _, _, done, _, k = state
+        return (k < nblk) & ~jnp.all(done)
+
+    def body(state):
+        i, j, t, done, ops, k = state
+        recs = []
+        for _ in range(U):
+            i, j, t, done, rec = one(i, j, t, done)
+            recs.append(rec)
         ops = jax.lax.dynamic_update_slice(
-            ops, jnp.where(active, code + 1, 0).astype(jnp.uint8)[:, None],
-            (0, k))
-        t = jnp.where(active, jnp.where(code >= 3, 1, code + 1), t)
-        done = done | (i2 == 0) | (j2 == 0)
-        return i2, j2, t, done, ops
+            ops, jnp.stack(recs, axis=0), (k * U, 0))
+        return i, j, t, done, ops, k + 1
 
     i0 = i0.astype(jnp.int32)
     j0 = j0.astype(jnp.int32)
     t0 = t0.astype(jnp.int32)
     done0 = (i0 == 0) | (j0 == 0)
-    ops0 = jnp.zeros((B, max_steps), jnp.uint8)
-    _, _, _, _, ops = jax.lax.fori_loop(
-        0, max_steps, step, (i0, j0, t0, done0, ops0))
+    ops0 = jnp.zeros((nblk * U, B), jnp.uint8)
+    _, _, _, _, ops, _ = jax.lax.while_loop(
+        cond, body, (i0, j0, t0, done0, ops0, jnp.int32(0)))
     return ops
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("max_steps", "pair_axis", "layout"))
+def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
+                 layout="skew"):
+    """(B, max_steps) uint8 walk ops — see _walk_core."""
+    ops = _walk_core(dirs, i0, j0, t0, max_steps=max_steps,
+                     pair_axis=pair_axis, layout=layout)
+    return ops.T[:, :max_steps]
 
 
 def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew"):
@@ -139,23 +174,27 @@ def replay_ops(ops, la, lb, tables, mode="parity", offsets=None,
     """
     B, L = ops.shape
     if offsets is not None and chunk is not None:
-        offs = np.asarray([offsets[chunk[r]] for r in range(B)], np.int64)
+        offs = np.asarray([offsets[chunk[r]] for r in range(B)], np.int32)
         id_a, id_b = offs[:, 0:1], offs[:, 1:2]
     else:
-        id_a = id_b = np.zeros((B, 1), np.int64)
+        id_a = id_b = np.zeros((B, 1), np.int32)
 
-    T = np.empty((B, L + 1), np.int64)
+    T = np.empty((B, L + 1), np.int32)
     T[:, 0] = tables
     T[:, 1:] = ops
     mv = T[:, :-1]
     di = (mv == 1) | (mv == 3)
     dj = (mv == 1) | (mv == 2)
-    pos_i = np.empty((B, L + 1), np.int64)
-    pos_j = np.empty((B, L + 1), np.int64)
+    pos_i = np.empty((B, L + 1), np.int32)
+    pos_j = np.empty((B, L + 1), np.int32)
     pos_i[:, 0] = la
     pos_j[:, 0] = lb
-    np.subtract(la[:, None], np.cumsum(di, axis=1), out=pos_i[:, 1:])
-    np.subtract(lb[:, None], np.cumsum(dj, axis=1), out=pos_j[:, 1:])
+    np.subtract(la[:, None].astype(np.int32),
+                np.cumsum(di, axis=1, dtype=np.int32),
+                out=pos_i[:, 1:])
+    np.subtract(lb[:, None].astype(np.int32),
+                np.cumsum(dj, axis=1, dtype=np.int32),
+                out=pos_j[:, 1:])
     # first index whose ENTRY position sits on an edge = steps taken
     steps = np.argmax((pos_i == 0) | (pos_j == 0), axis=1)
     # B2 (gap nodes store 0 for the gapped index) + global offsets
@@ -164,6 +203,18 @@ def replay_ops(ops, la, lb, tables, mode="parity", offsets=None,
 
     cap = L + 1 + (int(la.max(initial=0) + lb.max(initial=0))
                    if mode == "full" else 0)
+    if mode == "parity":
+        # vectorised reversal: out[r, q] = src[r, K_r - 1 - q], q < K_r
+        lens = steps.astype(np.int64)
+        cap = int(lens.max(initial=0)) if B else 0
+        q = np.arange(max(cap, 1))
+        idx = lens[:, None] - 1 - q[None, :cap]
+        valid = idx >= 0
+        idx = np.where(valid, idx, 0)
+        tt = np.where(valid, np.take_along_axis(T, idx, axis=1), 0)
+        ii = np.where(valid, np.take_along_axis(pts_i, idx, axis=1), 0)
+        jj = np.where(valid, np.take_along_axis(pts_j, idx, axis=1), 0)
+        return tt, ii, jj, lens
     tt = np.zeros((B, cap), np.int64)
     ii = np.zeros((B, cap), np.int64)
     jj = np.zeros((B, cap), np.int64)

@@ -571,7 +571,7 @@ def _pallas_rowdirs(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
 def pallas_rowdirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                          match=1.0, mismatch=0.0, start_type=-1,
                          block_b=DEF_BLOCK_B, device_dirs=False,
-                         interpret=None):
+                         device_finals=False, interpret=None):
     """Batched row-sweep fill emitting ROW-layout packed directions.
 
     Returns (finals (B, 3), dirs (>=m+1, B, nl) uint8) with
@@ -599,6 +599,8 @@ def pallas_rowdirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
         mismatch=mismatch, start_type=start_type, block_b=block_b,
         interpret=_default_interpret(interpret))
     if device_dirs:
+        if device_finals:
+            return fin[:B, :3], dirs  # no host sync: caller fuses
         return np.asarray(fin)[:B, :3], dirs
     return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]
 
@@ -736,11 +738,14 @@ def _pallas_rowscan(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
     )(a_pad, b_ext, lbmask, la)
 
 
-def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B):
+def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B,
+                 carries=7):
     """Host-side packing for the rowscan kernels: returns
     ((a_pad, b_ext, lbmask, la), dict(m, n, nl, block_b, uniform_la)).
     Split out so callers that re-dispatch on resident inputs (bench,
-    streaming) pay the packing and upload once."""
+    streaming) pay the packing and upload once. ``carries``: VMEM-fit
+    constant — 7 nl-wide carries for the score kernel, 13 for the
+    rowdirs kernel."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -748,7 +753,7 @@ def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B):
     nl = -(-(n + 1) // 128) * 128
     # +1 tile: the unrolled kernel touches a-columns up to m+unroll-2
     ma = max(-(-m // 128) * 128, 128) + 128
-    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + 7 * nl)
+    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + carries * nl)
     Bp = -(-B // block_b) * block_b
     a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
     a_pad[:B, :m] = a_enc

@@ -274,6 +274,34 @@ def _longseq_run(a, b, params, start_type, mesh, row_chunk):
     return finals, lastrow, m, n
 
 
+def longseq_pipeline_stats(m, n, devices, row_chunk=64):
+    """Static pipeline accounting for one sharded fill (VERDICT r1 item
+    9: the ICI traffic and ramp shape, computable without hardware).
+
+    The pipeline runs S = C + D - 1 macro-steps; each step every device
+    processes R rows of its column block and ppermutes one (R, 3) f32
+    halo to its right neighbour. Devices idle during the D - 1 ramp
+    steps, so C / S bounds pipeline efficiency — pick row_chunk (R) so
+    C >> D."""
+    D = max(1, int(devices))
+    R = min(row_chunk, max(m, 1))
+    C = -(-m // R)
+    S = C + D - 1
+    nc = -(-n // D)
+    return {
+        "devices": D,
+        "rows_per_step": R,
+        "chunks": C,
+        "pipeline_steps": S,
+        "cols_per_device": nc,
+        "bytes_per_ppermute_per_device": R * 3 * 4,
+        "total_halo_bytes": S * D * R * 3 * 4,
+        "ramp_fraction": round((D - 1) / S, 4),
+        "efficiency_bound": round(C / S, 4),
+        "dispatches": 1,
+    }
+
+
 def longseq_score(a, b, params=ScoringParams(), start_type=-1,
                   mesh=None, row_chunk=64):
     """Sharded score-only fill of one (possibly huge) pair.

@@ -4,10 +4,13 @@ Skipped when the reference tree or a C++ toolchain is unavailable; the
 offline golden cases (tests/golden/cases.jsonl) cover parity in that case.
 """
 
+import numpy as np
 import pytest
 
 from cse305_parallel_sequence_alignment_tpu.harness.parity import (
     build_reference,
+    build_subproblem_driver,
+    reference_subproblem,
     run_parity,
     sample_dataset_pairs,
 )
@@ -49,3 +52,52 @@ def test_live_parity_equal_lengths():
              for a, b in pairs]
     ok, mismatches = run_parity(pairs, driver=driver)
     assert ok, mismatches
+
+
+def test_live_parity_multi_kb():
+    """Byte parity at 4-5 kb dataset slices (-O2 reference, p=1 serial
+    fill) — tie-break divergences are most likely to surface at scale
+    (VERDICT r1 item 7)."""
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    pairs = [(seqs[5][:4096], seqs[13][:5000]),
+             (seqs[17][2000:6500], seqs[2][:4600])]
+    ok, mismatches = run_parity(pairs, driver=driver, p=1)
+    assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
+
+
+@pytest.mark.parametrize("start,end", [
+    (-1, -1), (-2, -1), (-3, -2), (-1, -3), (2, 1), (3, 2), (1, 3),
+])
+def test_live_subproblem_boundary_types(start, end):
+    """Anchored-segment semantics: drive the reference Subproblem with
+    non-trivial start/end types and byte-pin finals + chain — exactly
+    what partition stitching relies on (subproblem_alignment.h:36-74,
+    main_alignment.cpp:250-251)."""
+    subp = build_subproblem_driver(work_dir="/tmp/refparity_shared")
+    assert subp is not None
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+    rng = np.random.default_rng(1000 + 100 * (start + 3) + (end + 3))
+    m = int(rng.integers(30, 70))
+    n = m + int(rng.integers(0, 25))
+    a = "".join(rng.choice(list("ACGT"), m))
+    b = "".join(rng.choice(list("ACGT"), n))
+    finals, ref_chain = reference_subproblem(subp, a, b, start=start,
+                                             end=end)
+    al = BatchAligner(start_type=start, end_type=end)
+    res = al.align_batch([(a, b)])[0]
+    ours = al._finals(*_enc_pair(a, b))
+    np.testing.assert_array_equal(np.asarray(ours)[0], finals)
+    assert list(res.chain) == ref_chain, (start, end)
+
+
+def _enc_pair(a, b):
+    from cse305_parallel_sequence_alignment_tpu.core import encode_seq
+    ea, eb = encode_seq(a), encode_seq(b)
+    return (ea[None, :], eb[None, :],
+            np.array([len(ea)], np.int32), np.array([len(eb)], np.int32))
