@@ -124,7 +124,7 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
         from cse305_parallel_sequence_alignment_tpu.models.batch import (
             BatchAligner,
         )
-        eb = min(batch, 128) if on_tpu else min(batch, 8)
+        eb = batch if on_tpu else min(batch, 8)
         pairs = [(p0.tobytes().decode(), p1.tobytes().decode())
                  for p0, p1 in zip(a[:eb], b[:eb])]
         al = BatchAligner()

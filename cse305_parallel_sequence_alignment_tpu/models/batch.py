@@ -322,14 +322,19 @@ class BatchAligner:
         runs, required when stitching segments)."""
         enc_a, enc_b, buckets = self._prep(pairs)
         results: list = [None] * len(pairs)
+        pending: list = []
         for key, idxs in buckets.items():
             bm, bn = key
-            per_pair = (bm + bn + 1) * (bn + 1)  # dirs bytes per pair
+            if self.matrix is None and self._use_pallas():
+                # row-layout dirs: (m+1 rounded to k_steps) x nl bytes
+                per_pair = (bm + 16) * (-(-(bn + 1) // 128) * 128)
+            else:  # skew-T layout
+                per_pair = (bm + bn + 1) * (bn + 1)
             step = max(1, min(self.max_batch, self.dirs_budget // per_pair))
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
-                fused = None
+                item = None
                 if self.matrix is None and self._use_pallas():
                     # single-dispatch path: fill + end choice + walk in
                     # ONE compiled program, ONE host round trip with
@@ -337,13 +342,11 @@ class BatchAligner:
                     # device->host bytes both first-order through the
                     # evaluation tunnel (~25 ms/dispatch, ~9 MB/s)
                     try:
-                        fused = self._fused_chunk(
-                            a, b, la, lb, traceback_mode, offsets, chunk)
+                        handles = self._dispatch_fused(a, b, la, lb)
+                        item = ("fused", chunk, la, lb, handles)
                     except Exception as e:  # noqa: BLE001
                         _pallas_fallback_warn("fused_rowdirs", e)
-                if fused is not None:
-                    chains, arrays, tables, scores = fused
-                else:
+                if item is None:
                     finals, dirs, pair_axis, layout = self._dirs(
                         a, b, la, lb)
                     tables, scores = _end_choice_vec(
@@ -351,50 +354,60 @@ class BatchAligner:
                     chains, arrays = self._walk_chunk(
                         dirs, pair_axis, layout, la, lb, tables,
                         traceback_mode, offsets, chunk)
-                for r, k in enumerate(chunk):
-                    chain = chains[r]
-                    if offsets is not None:
-                        # chain is in global coordinates; the caller
-                        # renders the stitched result itself
-                        row_a = row_b = None
-                    else:
-                        row_a = row_b = None
-                        if arrays is not None:
-                            from cse305_parallel_sequence_alignment_tpu \
-                                .native import walker
-                            tt, ii, jj, lens = arrays
-                            L = int(lens[r])
-                            out = walker.render(enc_a[k], enc_b[k],
-                                                tt[r, :L], ii[r, :L],
-                                                jj[r, :L])
-                            if out is not None:
-                                row_a, row_b = out
-                        if row_a is None:
-                            row_a, row_b = format_alignment(
-                                bytes(enc_a[k]), bytes(enc_b[k]), chain)
-                    results[k] = AlignmentResult(
-                        score=float(scores[r]), chain=chain,
-                        aligned_a=row_a, aligned_b=row_b,
-                        end_table=int(tables[r]))
+                    item = ("done", chunk, chains, arrays, tables, scores)
+                # two chunks in flight: the device fills/walks chunk c+1
+                # while the host replays + renders chunk c
+                pending.append(item)
+                while len(pending) > 1:
+                    self._emit_chunk(pending.pop(0), enc_a, enc_b,
+                                     results, offsets, traceback_mode)
+        while pending:
+            self._emit_chunk(pending.pop(0), enc_a, enc_b, results,
+                             offsets, traceback_mode)
         return results
 
-    def _fused_chunk(self, a, b, la, lb, mode, offsets, chunk):
-        """Fill + end choice + walk as ONE compiled dispatch, ONE fetch.
+    def _emit_chunk(self, item, enc_a, enc_b, results, offsets, mode):
+        if item[0] == "fused":
+            _, chunk, la, lb, handles = item
+            chains, arrays, tables, scores = self._collect_fused(
+                handles, la, lb, mode, offsets, chunk)
+        else:
+            _, chunk, chains, arrays, tables, scores = item
+        for r, k in enumerate(chunk):
+            chain = chains[r]
+            if offsets is not None:
+                # chain is in global coordinates; the caller renders
+                # the stitched result itself
+                row_a = row_b = None
+            else:
+                row_a = row_b = None
+                if arrays is not None:
+                    from cse305_parallel_sequence_alignment_tpu.native \
+                        import walker
+                    tt, ii, jj, lens = arrays
+                    L = int(lens[r])
+                    out = walker.render(enc_a[k], enc_b[k], tt[r, :L],
+                                        ii[r, :L], jj[r, :L])
+                    if out is not None:
+                        row_a, row_b = out
+                if row_a is None:
+                    row_a, row_b = format_alignment(
+                        bytes(enc_a[k]), bytes(enc_b[k]), chain)
+            results[k] = AlignmentResult(
+                score=float(scores[r]), chain=chain,
+                aligned_a=row_a, aligned_b=row_b,
+                end_table=int(tables[r]))
 
-        Returns (chains, render_arrays, tables, scores). Chains are
-        LazyChain views (tuple building measured 46 ms of a 226 ms
-        128x2kb batch and most consumers never touch them)."""
-        import jax
+    def _dispatch_fused(self, a, b, la, lb):
+        """Queue fill + end choice + walk as ONE compiled dispatch;
+        returns device handles (packed ops, tables, scores) without
+        synchronizing — align_batch keeps two chunks in flight."""
         import jax.numpy as jnp
 
-        from cse305_parallel_sequence_alignment_tpu.core import LazyChain
-        from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
-            import replay_ops
         from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
             import _default_interpret, rowscan_prep
 
         args, meta = rowscan_prep(a, b, la, lb, carries=13)
-        B = len(chunk)
         max_steps = int(la.max(initial=0) + lb.max(initial=0)) + 1
         g, h, match, mismatch = self.params.astuple()
         packed, tables, scores = _fused_fill_walk(
@@ -402,9 +415,25 @@ class BatchAligner:
             m=meta["m"], n=meta["n"], nl=meta["nl"],
             block_b=meta["block_b"], g=g, h=h, match=match,
             mismatch=mismatch, start_type=self.start_type,
-            end_type=self.end_type, B=B, max_steps=max_steps,
+            end_type=self.end_type, B=la.shape[0], max_steps=max_steps,
             interpret=_default_interpret(None))
-        packed, tables, scores = jax.device_get((packed, tables, scores))
+        return packed, tables, scores, max_steps
+
+    def _collect_fused(self, handles, la, lb, mode, offsets, chunk):
+        """Fetch a dispatched chunk (ONE round trip), unpack the 4-bit
+        op codes, replay, and wrap chains as LazyChain views (tuple
+        building measured 46 ms of a 226 ms 128x2kb batch and most
+        consumers never touch them)."""
+        import jax
+
+        from cse305_parallel_sequence_alignment_tpu.core import LazyChain
+        from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
+            import replay_ops
+
+        packed_d, tables_d, scores_d, max_steps = handles
+        packed, tables, scores = jax.device_get(
+            (packed_d, tables_d, scores_d))
+        B = len(chunk)
         S2 = packed.shape[1]
         ops = np.empty((B, 2 * S2), np.uint8)
         ops[:, 0::2] = packed & 0xF

@@ -182,3 +182,26 @@ def test_device_walk_offsets():
     want = host.align_batch(pairs, offsets=offs, traceback_mode="full")
     for g_, w_ in zip(got, want):
         assert g_.chain == w_.chain
+
+
+def test_align_batch_chunk_pipeline():
+    """dirs_budget small enough to force several fused chunks in one
+    bucket: the 2-deep dispatch/collect pipeline must emit every pair's
+    result identically to the unchunked run."""
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+
+    rng = np.random.default_rng(31)
+    pairs = [("".join(rng.choice(list("ACGT"), 48)),
+              "".join(rng.choice(list("ACGT"), 48))) for _ in range(7)]
+    # per_pair ~= 64 rows x 128 lanes -> budget of 3 pairs per chunk
+    dev = BatchAligner(backend="pallas", dirs_budget=3 * 64 * 128)
+    one = BatchAligner(backend="pallas")
+    got = dev.align_batch(pairs)
+    want = one.align_batch(pairs)
+    assert [len({c[0] for c in r.chain}) for r in got]  # touch chains
+    for g_, w_ in zip(got, want):
+        assert g_.chain == w_.chain
+        assert g_.score == w_.score
+        assert g_.aligned_a == w_.aligned_a and g_.aligned_b == w_.aligned_b
