@@ -18,7 +18,13 @@ decomposition, FASTA ingestion, benchmark harness), built TPU-first:
 Reference behavior citations use ``path:line`` within ``/root/reference``.
 """
 
-from cse305_parallel_sequence_alignment_tpu.core import (
+from cse305_parallel_sequence_alignment_tpu.utils.compile_cache import (
+    enable_persistent_cache as _enable_persistent_cache,
+)
+
+_enable_persistent_cache()
+
+from cse305_parallel_sequence_alignment_tpu.core import (  # noqa: E402
     NEG_INF,
     AlignmentResult,
     ScoringParams,

@@ -63,42 +63,47 @@ def _encode_many(seqs):
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "block_b", "g", "h", "match",
-                     "mismatch", "start_type", "end_type", "B",
-                     "max_steps", "interpret"))
-def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, la_v, lb_v, *, m, n, nl,
-                     block_b, g, h, match, mismatch, start_type,
-                     end_type, B, max_steps, interpret):
-    """One XLA program: rowdirs Pallas fill -> end-table choice ->
-    on-device walk -> 4-bit op packing. Dispatch latency (~25 ms through
-    the evaluation tunnel) and device->host bytes both halve vs separate
-    fill/walk programs; the packed ops are half the uint8 codes."""
+                     "mismatch", "B", "max_steps", "interpret"))
+def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
+                     *, m, n, nl, block_b, g, h, match, mismatch, B,
+                     max_steps, interpret):
+    """One XLA program: rowdirs Pallas fill (with diagonal-run lengths)
+    -> end-table choice -> on-device RLE walk. Dispatch latency (~25 ms
+    through the evaluation tunnel) halves vs separate fill/walk
+    programs, and the run-length walk consumes a whole diagonal run per
+    dependent gather — the e2e floor round 2 measured at ~10 us/step
+    amortizes over the run. Returns (entries (rounds_pad, B) uint8 ON
+    DEVICE, rounds_used, tables, scores); the caller fetches only the
+    used rounds (~steps/run_len bytes per pair)."""
     from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
-        _walk_core,
+        _walk_core_rle,
     )
     from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
         _pallas_rowdirs,
     )
 
-    dirs, fin = _pallas_rowdirs(
-        a_pad, b_ext, lbmask, la_t, m=m, n=n, nl=nl, g=g, h=h,
-        match=match, mismatch=mismatch, start_type=start_type,
-        block_b=block_b, interpret=interpret)
+    dirs16, fin = _pallas_rowdirs(
+        a_pad, b_ext, lbmask, la_t, st_t, m=m, n=n, nl=nl, g=g, h=h,
+        match=match, mismatch=mismatch,
+        block_b=block_b, interpret=interpret, with_runs=True)
     finals = fin[:B, :3]
+    # end-table choice, per-pair dynamic end type (tie order
+    # T1 >= T2 >= T3, gap-open refund for forced-into-gap ends)
     f1 = finals[:, 0]
-    f2 = finals[:, 1] + (h if end_type == -2 else 0.0)
-    f3 = finals[:, 2] + (h if end_type == -3 else 0.0)
-    if end_type > 0:
-        tb = jnp.full((B,), end_type, jnp.int32)
-        sc = finals[:, end_type - 1]
-    else:
-        pick1 = (f1 >= f2) & (f1 >= f3)
-        pick2 = ~pick1 & (f2 >= f3)
-        tb = jnp.where(pick1, 1, jnp.where(pick2, 2, 3)).astype(jnp.int32)
-        sc = jnp.where(pick1, f1, jnp.where(pick2, f2, f3))
-    ops = _walk_core(dirs, la_v, lb_v, tb, max_steps=max_steps,
-                     pair_axis=1, layout="row")  # (steps_pad, B), even
-    packed = (ops[0::2] | (ops[1::2] << 4)).T  # codes <= 4: 4b each
-    return packed, tb, sc
+    f2 = finals[:, 1] + jnp.where(en_v == -2, h, 0.0)
+    f3 = finals[:, 2] + jnp.where(en_v == -3, h, 0.0)
+    pick1 = (f1 >= f2) & (f1 >= f3)
+    pick2 = ~pick1 & (f2 >= f3)
+    tb_free = jnp.where(pick1, 1, jnp.where(pick2, 2, 3))
+    sc_free = jnp.where(pick1, f1, jnp.where(pick2, f2, f3))
+    forced = en_v > 0
+    sc_forced = jnp.take_along_axis(
+        finals, jnp.clip(en_v - 1, 0, 2)[:, None], axis=1)[:, 0]
+    tb = jnp.where(forced, en_v, tb_free).astype(jnp.int32)
+    sc = jnp.where(forced, sc_forced, sc_free)
+    entries, used = _walk_core_rle(dirs16, la_v, lb_v, tb,
+                                   max_steps=max_steps, pair_axis=1)
+    return entries, used, tb, sc
 
 
 def _end_choice_vec(finals, end_type, h):
@@ -313,13 +318,18 @@ class BatchAligner:
                 tables[chunk] = tb
         return scores, tables
 
-    def align_batch(self, pairs, offsets=None, traceback_mode="parity"):
+    def align_batch(self, pairs, offsets=None, traceback_mode="parity",
+                    start_types=None, end_types=None):
         """Full alignments (device fill + host traceback) for all pairs.
 
         ``offsets``: optional per-pair (id_a, id_b) global coordinate
         offsets (partitioned segment solves). ``traceback_mode``: see
         ops/traceback.py ("parity" = reference B1; "full" = emit edge
-        runs, required when stitching segments)."""
+        runs, required when stitching segments). ``start_types``/
+        ``end_types``: optional per-pair boundary types overriding the
+        aligner's scalars — mixed-type batches (the partition layer's
+        anchored segments) run as ONE device dispatch on the fused
+        path; non-fused fallbacks subgroup by type."""
         enc_a, enc_b, buckets = self._prep(pairs)
         results: list = [None] * len(pairs)
         pending: list = []
@@ -334,26 +344,31 @@ class BatchAligner:
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
+                st_vec = en_vec = None
+                if start_types is not None:
+                    st_vec = np.asarray(
+                        [start_types[k] for k in chunk], np.int32)
+                if end_types is not None:
+                    en_vec = np.asarray(
+                        [end_types[k] for k in chunk], np.int32)
                 item = None
                 if self.matrix is None and self._use_pallas():
                     # single-dispatch path: fill + end choice + walk in
                     # ONE compiled program, ONE host round trip with
-                    # 4-bit-packed op codes — dispatch latency and
+                    # run-length op codes — dispatch latency and
                     # device->host bytes both first-order through the
                     # evaluation tunnel (~25 ms/dispatch, ~9 MB/s)
                     try:
-                        handles = self._dispatch_fused(a, b, la, lb)
+                        handles = self._dispatch_fused(
+                            a, b, la, lb, st_vec, en_vec)
                         item = ("fused", chunk, la, lb, handles)
                     except Exception as e:  # noqa: BLE001
                         _pallas_fallback_warn("fused_rowdirs", e)
                 if item is None:
-                    finals, dirs, pair_axis, layout = self._dirs(
-                        a, b, la, lb)
-                    tables, scores = _end_choice_vec(
-                        finals, self.end_type, self.params.h)
-                    chains, arrays = self._walk_chunk(
-                        dirs, pair_axis, layout, la, lb, tables,
-                        traceback_mode, offsets, chunk)
+                    chains, arrays, tables, scores = \
+                        self._dirs_walk_grouped(
+                            a, b, la, lb, st_vec, en_vec,
+                            traceback_mode, offsets, chunk)
                     item = ("done", chunk, chains, arrays, tables, scores)
                 # two chunks in flight: the device fills/walks chunk c+1
                 # while the host replays + renders chunk c
@@ -365,6 +380,45 @@ class BatchAligner:
             self._emit_chunk(pending.pop(0), enc_a, enc_b, results,
                              offsets, traceback_mode)
         return results
+
+    def _dirs_walk_grouped(self, a, b, la, lb, st_vec, en_vec, mode,
+                           offsets, chunk):
+        """Non-fused fill + walk, subgrouped by boundary type when
+        per-pair type vectors are present (the XLA dirs kernels key
+        start_type statically)."""
+        if st_vec is None and en_vec is None:
+            finals, dirs, pair_axis, layout = self._dirs(a, b, la, lb)
+            tables, scores = _end_choice_vec(
+                finals, self.end_type, self.params.h)
+            chains, arrays = self._walk_chunk(
+                dirs, pair_axis, layout, la, lb, tables, mode,
+                offsets, chunk)
+            return chains, arrays, tables, scores
+        B = len(chunk)
+        sts = st_vec if st_vec is not None else \
+            np.full(B, self.start_type, np.int32)
+        ens = en_vec if en_vec is not None else \
+            np.full(B, self.end_type, np.int32)
+        chains = [None] * B
+        tables = np.zeros(B, np.int32)
+        scores = np.zeros(B, np.float32)
+        for (st, en) in sorted({(int(s_), int(e_))
+                                for s_, e_ in zip(sts, ens)}):
+            rows = [r for r in range(B)
+                    if sts[r] == st and ens[r] == en]
+            sub = dataclasses.replace(self, start_type=st, end_type=en)
+            finals, dirs, pair_axis, layout = sub._dirs(
+                a[rows], b[rows], la[rows], lb[rows])
+            tb, sc = _end_choice_vec(finals, en, self.params.h)
+            sub_chunk = [chunk[r] for r in rows]
+            ch, _ = sub._walk_chunk(dirs, pair_axis, layout, la[rows],
+                                    lb[rows], tb, mode, offsets,
+                                    sub_chunk)
+            for w, r in enumerate(rows):
+                chains[r] = ch[w]
+                tables[r] = tb[w]
+                scores[r] = sc[w]
+        return chains, None, tables, scores
 
     def _emit_chunk(self, item, enc_a, enc_b, results, offsets, mode):
         if item[0] == "fused":
@@ -398,46 +452,58 @@ class BatchAligner:
                 aligned_a=row_a, aligned_b=row_b,
                 end_table=int(tables[r]))
 
-    def _dispatch_fused(self, a, b, la, lb):
+    def _dispatch_fused(self, a, b, la, lb, st_vec=None, en_vec=None):
         """Queue fill + end choice + walk as ONE compiled dispatch;
-        returns device handles (packed ops, tables, scores) without
-        synchronizing — align_batch keeps two chunks in flight."""
+        returns device handles (RLE entries, rounds, tables, scores)
+        without synchronizing — align_batch keeps two chunks in flight.
+        ``st_vec``/``en_vec``: optional per-pair boundary types (the
+        partition layer's mixed-type segment batches); default = the
+        aligner's scalar types."""
         import jax.numpy as jnp
 
         from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
             import _default_interpret, rowscan_prep
 
-        args, meta = rowscan_prep(a, b, la, lb, carries=13)
+        args, meta = rowscan_prep(a, b, la, lb, carries=17)
+        B = la.shape[0]
+        Bp = args[0].shape[0]
+        st_t = np.full((Bp, 128), int(self.start_type), np.int32)
+        if st_vec is not None:
+            st_t[:B] = np.asarray(st_vec, np.int32)[:, None]
+        en_v = np.full((B,), int(self.end_type), np.int32)
+        if en_vec is not None:
+            en_v[:] = np.asarray(en_vec, np.int32)
         max_steps = int(la.max(initial=0) + lb.max(initial=0)) + 1
         g, h, match, mismatch = self.params.astuple()
-        packed, tables, scores = _fused_fill_walk(
-            *args, jnp.asarray(la, jnp.int32), jnp.asarray(lb, jnp.int32),
+        entries, used, tables, scores = _fused_fill_walk(
+            *args[:4], st_t, jnp.asarray(la, jnp.int32),
+            jnp.asarray(lb, jnp.int32), jnp.asarray(en_v),
             m=meta["m"], n=meta["n"], nl=meta["nl"],
             block_b=meta["block_b"], g=g, h=h, match=match,
-            mismatch=mismatch, start_type=self.start_type,
-            end_type=self.end_type, B=la.shape[0], max_steps=max_steps,
+            mismatch=mismatch, B=B, max_steps=max_steps,
             interpret=_default_interpret(None))
-        return packed, tables, scores, max_steps
+        return entries, used, tables, scores, max_steps
 
     def _collect_fused(self, handles, la, lb, mode, offsets, chunk):
-        """Fetch a dispatched chunk (ONE round trip), unpack the 4-bit
-        op codes, replay, and wrap chains as LazyChain views (tuple
-        building measured 46 ms of a 226 ms 128x2kb batch and most
-        consumers never touch them)."""
+        """Fetch a dispatched chunk (scores + the USED rounds of the
+        RLE walk entries only), expand the run-length codes, replay,
+        and wrap chains as LazyChain views (tuple building measured
+        46 ms of a 226 ms 128x2kb batch and most consumers never touch
+        them)."""
         import jax
 
         from cse305_parallel_sequence_alignment_tpu.core import LazyChain
         from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
-            import replay_ops
+            import expand_rle_ops, replay_ops
 
-        packed_d, tables_d, scores_d, max_steps = handles
-        packed, tables, scores = jax.device_get(
-            (packed_d, tables_d, scores_d))
+        entries_d, used_d, tables_d, scores_d, max_steps = handles
+        used, tables, scores = jax.device_get(
+            (used_d, tables_d, scores_d))
+        rounds_cap = entries_d.shape[0]
+        rpad = min(rounds_cap, -(-max(int(used), 1) // 256) * 256)
+        ent = jax.device_get(entries_d[:rpad])
         B = len(chunk)
-        S2 = packed.shape[1]
-        ops = np.empty((B, 2 * S2), np.uint8)
-        ops[:, 0::2] = packed & 0xF
-        ops[:, 1::2] = packed >> 4
+        ops = expand_rle_ops(ent.T[:B], max_steps)
         tt, ii, jj, lens = replay_ops(
             ops[:, :max_steps], np.asarray(la, np.int64),
             np.asarray(lb, np.int64), tables.astype(np.int64), mode=mode,

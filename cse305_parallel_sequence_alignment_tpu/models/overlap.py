@@ -144,6 +144,16 @@ class OverlapBatchAligner:
                 ejs[chunk] = out[:, 3].astype(np.int32)
         return scores, tables, eis, ejs
 
+    backend: str = "auto"
+
+    def _use_pallas(self):
+        if self.backend == "pallas":
+            return True
+        if self.backend == "wavefront":
+            return False
+        import jax
+        return jax.default_backend() == "tpu"
+
     def align_batch(self, pairs):
         enc_a, enc_b, buckets = self._prep(pairs)
         results: list = [None] * len(pairs)
@@ -151,19 +161,39 @@ class OverlapBatchAligner:
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s: s + self.max_batch]
                 a, b, la, lb = self._arrays(enc_a, enc_b, chunk, key)
-                out, dirs = overlap_dirs_batch(
-                    jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
-                    jnp.asarray(lb), **self._kw())
-                out = np.asarray(out)
+                out = dirs = None
+                layout = "skew"
+                if self._use_pallas():
+                    # fused row-dirs Pallas kernel + on-device walk —
+                    # the same structure as the global/semiglobal/banded
+                    # fast paths (ops/pallas_overlap.py)
+                    try:
+                        from cse305_parallel_sequence_alignment_tpu. \
+                            ops.pallas_overlap import (
+                                pallas_overlap_dirs_batch,
+                            )
+                        out, dirs = pallas_overlap_dirs_batch(
+                            a, b, la, lb, device_dirs=True,
+                            **self._kw())
+                        layout = "row"
+                    except Exception:  # noqa: BLE001
+                        out = dirs = None
+                if out is None:
+                    out, dirs = overlap_dirs_batch(
+                        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+                        jnp.asarray(lb), **self._kw())
+                    out = np.asarray(out)
                 import jax
-                if jax.default_backend() != "cpu":
+                if jax.default_backend() != "cpu" or layout == "row":
                     # on-device walk (slow device->host link)
                     from cse305_parallel_sequence_alignment_tpu.ops. \
                         device_walk import walk_overlap_batch_device
                     chains = walk_overlap_batch_device(
                         dirs, out[:, 1].astype(np.int64),
                         out[:, 2].astype(np.int64),
-                        out[:, 3].astype(np.int64), pair_axis=0)
+                        out[:, 3].astype(np.int64),
+                        pair_axis=0 if layout == "skew" else 1,
+                        layout=layout)
                 else:
                     dirs = np.asarray(dirs)
                     chains = [traceback_overlap_from_dirs(

@@ -111,6 +111,109 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout):
     return ops
 
 
+def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1):
+    """Run-length walk over the ``with_runs`` uint16 row-layout dirs
+    (ops/pallas_fill.py _rowdirs_kernel): one dependent gather consumes
+    a WHOLE diagonal run.
+
+    Each uint16 cell holds [codes(8) | runlen R(6) | code-after ca(2)].
+    A round at (i, j, t): for t == 1 it takes R rec-1 steps plus one
+    rec-(ca+1) step (R+1 diagonal moves); for t in (2, 3) one normal
+    step. The round records ONE entry byte (op | k << 2) with
+    op = rec of the round's last step (2 bits) and k = R (6 bits);
+    expand_rle_ops reproduces the per-step op stream bit-identically to
+    _walk_core (tests assert so). Positions may overshoot the DP edge
+    (the run jump is not edge-clamped); the host replay cuts at the
+    first edge touch exactly as it does for single steps, so trailing
+    recs are dead by construction. Returns (entries (rounds_pad, B)
+    uint8 device array, rounds_used scalar).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = i0.shape[0]
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    shifts = jnp.array([0, DIR_T1_SHIFT, DIR_T2_SHIFT, DIR_T3_SHIFT],
+                      jnp.int32)
+    nrows = dirs16.shape[0] if pair_axis == 1 else dirs16.shape[1]
+    ncols = dirs16.shape[2]
+
+    def one(i, j, t, done):
+        # overshot pairs are done; clamp their (frozen) coords anyway so
+        # gathers never index out of range
+        r = jnp.clip(i, 0, nrows - 1)
+        c = jnp.clip(j, 0, ncols - 1)
+        if pair_axis == 0:
+            word = dirs16[bidx, r, c].astype(jnp.int32)
+        else:
+            word = dirs16[r, bidx, c].astype(jnp.int32)
+        codes = word & 0xFF
+        c_now = (codes >> shifts[t]) & 3
+        is_run = t == 1
+        k = jnp.where(is_run, (word >> 8) & 63, 0)
+        op = jnp.where(is_run, (word >> 14) & 3, c_now)
+        di = jnp.where(is_run, k + 1, jnp.where(t == 3, 1, 0))
+        dj = jnp.where(is_run, k + 1, jnp.where(t == 2, 1, 0))
+        active = ~done
+        i2 = jnp.where(active, i - di, i)
+        j2 = jnp.where(active, j - dj, j)
+        ent = jnp.where(active, (op + 1) | (k << 2), 0).astype(jnp.uint8)
+        t2 = jnp.where(active, op + 1, t)
+        done2 = done | (i2 <= 0) | (j2 <= 0)
+        return i2, j2, t2, done2, ent
+
+    U = _WALK_UNROLL
+    nblk = -(-max_steps // U)
+
+    def cond(state):
+        _, _, _, done, _, k = state
+        return (k < nblk) & ~jnp.all(done)
+
+    def body(state):
+        i, j, t, done, ops, k = state
+        ents = []
+        for _ in range(U):
+            i, j, t, done, ent = one(i, j, t, done)
+            ents.append(ent)
+        ops = jax.lax.dynamic_update_slice(
+            ops, jnp.stack(ents, axis=0), (k * U, 0))
+        return i, j, t, done, ops, k + 1
+
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    t0 = t0.astype(jnp.int32)
+    done0 = (i0 == 0) | (j0 == 0)
+    ops0 = jnp.zeros((nblk * U, B), jnp.uint8)
+    _, _, _, _, ops, kfin = jax.lax.while_loop(
+        cond, body, (i0, j0, t0, done0, ops0, jnp.int32(0)))
+    return ops, kfin * U
+
+
+def expand_rle_ops(entries, max_steps):
+    """Expand (B, Rn) RLE walk entries to the dense per-step op stream
+    ((B, <=max_steps) uint8) _walk_core would have produced.
+
+    entry = op | k << 2 -> k steps of op 1 (the diagonal run) followed
+    by one step of op; op == 0 = round not taken."""
+    entries = np.asarray(entries)
+    B, Rn = entries.shape
+    op = (entries & 3).astype(np.uint8)
+    k = (entries >> 2).astype(np.int64)
+    lens = np.where(op > 0, k + 1, 0)
+    ends = np.cumsum(lens, axis=1)
+    total = ends[:, -1] if Rn else np.zeros(B, np.int64)
+    L = min(int(total.max(initial=0)), max_steps) if B else 0
+    L = max(L, 1)
+    dense = np.zeros((B, L), np.uint8)
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    dense[pos < total[:, None]] = 1
+    idx = ends - 1
+    valid = (op > 0) & (idx < L)
+    bflat = np.broadcast_to(np.arange(B)[:, None], idx.shape)[valid]
+    dense[bflat, idx[valid]] = op[valid]
+    return dense
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("max_steps", "pair_axis", "layout"))
@@ -196,7 +299,15 @@ def replay_ops(ops, la, lb, tables, mode="parity", offsets=None,
                 np.cumsum(dj, axis=1, dtype=np.int32),
                 out=pos_j[:, 1:])
     # first index whose ENTRY position sits on an edge = steps taken
-    steps = np.argmax((pos_i == 0) | (pos_j == 0), axis=1)
+    edge = (pos_i == 0) | (pos_j == 0)
+    reached = edge.any(axis=1)
+    if not reached.all():
+        bad = np.nonzero(~reached)[0]
+        raise RuntimeError(
+            f"device walk never reached a DP edge for pairs "
+            f"{bad[:8].tolist()} (corrupt dirs or undersized max_steps "
+            f"{L}); argmax would silently emit empty chains")
+    steps = np.argmax(edge, axis=1)
     # B2 (gap nodes store 0 for the gapped index) + global offsets
     pts_i = np.where(T == 2, 0, pos_i + id_a)
     pts_j = np.where(T == 3, 0, pos_j + id_b)

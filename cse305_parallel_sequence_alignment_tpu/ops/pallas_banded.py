@@ -6,8 +6,10 @@ wavefront ramp waste. Band lane parameterization as in ops/banded.py
 (window shifts one column per row, diag = same lane, up = lane + 1);
 the in-window T2 prefix-max runs as log-shift sweeps.
 
-Score-only (the banded traceback path stays on the XLA fill + host walk;
-its dirs matrix is only m x W bytes). Batched over equal-shape pairs with
+Two kernels: a score-only fill and a fused dirs fill
+(``_banded_dirs_kernel``) whose band-layout direction codes feed the
+on-device walk (ops/device_walk.py, layout="band") — the banded
+traceback never leaves the chip. Batched over equal-shape pairs with
 per-pair true lengths for the final-cell capture.
 """
 
@@ -224,8 +226,8 @@ def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
     for u in range(k_steps):
         i = dblk * k_steps + u
 
-        @pl.when(i == 0)
-        def _():
+        @pl.when((i == 0) | (i >= num_rows))
+        def _(u=u):
             dirs_ref[u] = jnp.zeros((block_b, Wl), jnp.int32).astype(
                 jnp.uint8)
 

@@ -425,10 +425,10 @@ def _shift_right_zero_i(x):
         [jnp.zeros(x.shape[:-1] + (1,), jnp.int32), x[..., :-1]], axis=-1)
 
 
-def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
-                    fin_ref, state, fin_acc,
-                    *, m, n, nl, g, h, match, mismatch, start_type,
-                    k_steps, num_rows):
+def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
+                    dirs_ref, fin_ref, state, fin_acc, run_state,
+                    *, m, n, nl, g, h, match, mismatch,
+                    k_steps, num_rows, with_runs=False):
     """Row-sweep fill emitting ROW-layout packed directions.
 
     Same mathematics as ``_rowscan_kernel`` plus per-row direction
@@ -448,6 +448,16 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
     value-exact, so the comparison semantics match the reference's).
     Lane 0 and out-of-range rows are never read by any walk, so no
     masking is spent on them.
+
+    ``with_runs`` (the fused-walk fast path): the output is uint16 —
+    low byte the packed codes, bits 8-13 the DIAGONAL RUN LENGTH
+    R(i,j) (number of consecutive rec-1 steps a T1 walk takes from
+    (i,j): R = c1==0 ? min(R(i-1,j-1)+1, 63) : 0, one extra lane-shift
+    carry), bits 14-15 the code AFTER the run (ca = c1==0 ?
+    (capped ? 0 : ca(i-1,j-1)) : c1). The device walk then consumes a
+    whole diagonal run per dependent gather instead of one step
+    (ops/device_walk.py _walk_core_rle) — the dependent-gather chain is
+    the e2e alignment floor, and DNA paths are diagonal-run-dominated.
     """
     block_b = bext_ref.shape[0]
     dblk = pl.program_id(1)
@@ -461,16 +471,25 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
     lane0 = jj == 0
     jg = gf * jj.astype(jnp.float32)
     jgc = jg - gf - hf
+    # per-pair boundary type (int32 vector input): the reference's
+    # start_type semantics as vector selects, so ONE compiled program
+    # serves every type — the partition layer's anchored segments batch
+    # together and share the bench path's compiled program
+    stc = st_ref[:, 0:1]
+    st_is2 = stc == -2
+    st_is13 = (stc == 1) | (stc == 3)
+    st_is12 = (stc == 1) | (stc == 2)
 
     @pl.when(dblk == 0)
     def _():
-        corner1 = 0.0 if start_type in (1, -1) else NEG_INF
-        corner2 = 0.0 if start_type == -2 else NEG_INF
-        corner3 = 0.0 if start_type == -3 else NEG_INF
-        r1 = jnp.where(lane0, jnp.float32(corner1), neg_inf)
-        r2 = jnp.where(lane0, jnp.float32(corner2),
-                       _row0_t2(jj, gf, hf, start_type))
-        r3 = jnp.where(lane0, jnp.float32(corner3), neg_inf)
+        corner1 = jnp.where((stc == 1) | (stc == -1), 0.0, neg_inf)
+        corner2 = jnp.where(stc == -2, 0.0, neg_inf)
+        corner3 = jnp.where(stc == -3, 0.0, neg_inf)
+        row0_t2 = jnp.where(st_is2, -jg,
+                            jnp.where(st_is13, neg_inf, -hf - jg))
+        r1 = jnp.where(lane0, corner1, neg_inf)
+        r2 = jnp.where(lane0, corner2, row0_t2)
+        r3 = jnp.where(lane0, corner3, neg_inf)
         state[0], state[1], state[2] = r1, r2, r3
         fin_acc[...] = jnp.where((la_col == 0) & lbmask3,
                                  _pack3((r1, r2, r3)), neg_inf)
@@ -479,13 +498,22 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
         return jnp.where((c1 >= c2) & (c1 >= c3), 0,
                          jnp.where(c2 >= c3, 1, 2))
 
+    out_dtype = jnp.uint16 if with_runs else jnp.uint8
+
+    @pl.when(dblk == 0)
+    def _():
+        if with_runs:
+            run_state[...] = jnp.zeros((2, block_b, nl), jnp.int32)
+
     for u in range(k_steps):
         i = dblk * k_steps + u
 
-        @pl.when(i == 0)
-        def _():
+        # i == 0 has no predecessors; i >= num_rows are padding rows of
+        # the last block — zero both so host copies are deterministic
+        @pl.when((i == 0) | (i >= num_rows))
+        def _(u=u):
             dirs_ref[u] = jnp.zeros((block_b, nl), jnp.int32).astype(
-                jnp.uint8)
+                out_dtype)
 
         @pl.when((i > 0) & (i < num_rows))
         def _(i=i, u=u):
@@ -496,7 +524,11 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
             mp12 = jnp.maximum(p1, p2)
             t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
             t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
-            t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
+            i_f = jnp.float32(1.0) * i
+            col0_3 = jnp.where(stc == -3, -gf * i_f,
+                               jnp.where(st_is12, neg_inf,
+                                         -hf - gf * i_f))
+            t3 = jnp.where(lane0, col0_3, t3)
             m13 = _shift_right_neg(jnp.maximum(t1, t3))
             pm = _lane_prefix_max(jgc + m13, nl)
             t2 = pm - jg
@@ -509,7 +541,18 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
             d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
             packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
                 (d3 << DIR_T3_SHIFT)
-            dirs_ref[u] = packed.astype(jnp.uint8)
+            if with_runs:
+                r_prev = _shift_right_zero_i(run_state[0])
+                ca_prev = _shift_right_zero_i(run_state[1])
+                is_run = d1 == 0
+                capped = r_prev >= 63
+                r_cur = jnp.where(is_run,
+                                  jnp.minimum(r_prev + 1, 63), 0)
+                ca_cur = jnp.where(is_run,
+                                   jnp.where(capped, 0, ca_prev), d1)
+                run_state[0], run_state[1] = r_cur, ca_cur
+                packed = packed | (r_cur << 8) | (ca_cur << 14)
+            dirs_ref[u] = packed.astype(out_dtype)
 
             t_pack = _pack3((t1, t2, t3))
             fin_acc[...] = jnp.where((la_col == i) & lbmask3, t_pack,
@@ -526,9 +569,11 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, dirs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
-                     "start_type", "block_b", "interpret", "k_steps"))
-def _pallas_rowdirs(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
-                    mismatch, start_type, block_b, interpret, k_steps=8):
+                     "block_b", "interpret", "k_steps",
+                     "with_runs"))
+def _pallas_rowdirs(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
+                    match, mismatch, block_b, interpret, k_steps=8,
+                    with_runs=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -536,7 +581,8 @@ def _pallas_rowdirs(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
     kernel = functools.partial(
         _rowdirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
-        start_type=start_type, k_steps=k_steps, num_rows=num_rows)
+        k_steps=k_steps, num_rows=num_rows,
+        with_runs=with_runs)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -549,6 +595,8 @@ def _pallas_rowdirs(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((k_steps, block_b, nl), lambda b, d: (d, b, 0),
@@ -557,15 +605,17 @@ def _pallas_rowdirs(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl), jnp.uint8),
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl),
+                                 jnp.uint16 if with_runs else jnp.uint8),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((3, block_b, nl), jnp.float32),
             pltpu.VMEM((block_b, 3 * nl), jnp.float32),
+            pltpu.VMEM((2, block_b, nl), jnp.int32),
         ],
         interpret=interpret,
-    )(a_pad, b_ext, lbmask, la)
+    )(a_pad, b_ext, lbmask, la, st)
 
 
 def pallas_rowdirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
@@ -594,9 +644,10 @@ def pallas_rowdirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
+    st = np.full((Bp, 128), int(start_type), np.int32)
     dirs, fin = _pallas_rowdirs(
-        a_pad, b_ext, lbmask, la, m=m, n=n, nl=nl, g=g, h=h, match=match,
-        mismatch=mismatch, start_type=start_type, block_b=block_b,
+        a_pad, b_ext, lbmask, la, st, m=m, n=n, nl=nl, g=g, h=h,
+        match=match, mismatch=mismatch, block_b=block_b,
         interpret=_default_interpret(interpret))
     if device_dirs:
         if device_finals:

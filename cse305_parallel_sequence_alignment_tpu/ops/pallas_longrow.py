@@ -18,6 +18,18 @@ subproblem_alignment.cpp:237-325) extends across chunks exactly: the
 incoming pm seeds the in-chunk prefix-max, and jg uses global column
 indices so the subtraction stays consistent.
 
+Boundary types are DYNAMIC per pair (an int32 vector input, not a
+compile-time constant): every start/end type combination the partition
+layer produces (main_alignment.cpp:250-251 semantics) runs through ONE
+compiled program, so the bisection's mixed-type crossing batches share
+a single kernel compile.
+
+Host<->device traffic rules (the evaluation tunnel moves ~7-9 MB/s):
+sequences upload ONCE per fill as uint8 and are cast to int32 on
+device (Mosaic needs 32-bit vector inputs); the per-chunk window is cut
+with an on-device dynamic_slice, so the host chunk loop uploads nothing
+but a 4-byte column offset per dispatch.
+
 This unlocks the reference dataset's real scale (13-97 kb gene pairs,
 gene_sequences_test) as batched device fills; the ppermute pipeline
 (parallel/longseq.py) remains the multi-chip path.
@@ -60,23 +72,10 @@ def _bnd_col(bnd_row, k):
                    axis=-1, keepdims=True)
 
 
-def _row0_vals(jg_abs, g, h, start_type):
-    """Row-0 T1/T2/T3 closed forms at global columns (vector jg_abs =
-    g * global_j; col 0 handled by the first chunk's lane-0 fixes)."""
-    neg = jnp.full(jg_abs.shape, jnp.float32(NEG_INF))
-    if start_type == -2:
-        t2 = -jg_abs
-    elif start_type in (1, 3):
-        t2 = neg
-    else:
-        t2 = -h - jg_abs
-    return neg, t2, neg
-
-
-def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
+def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, st_ref, cs_ref,
                     bnd_in_ref, bnd_out_ref, fin_ref,
                     state, fin_acc, mp_carry,
-                    *, m, nl_c, rc, g, h, match, mismatch, start_type,
+                    *, m, nl_c, rc, g, h, match, mismatch,
                     first_chunk, num_rb, want_row=False):
     block_b = bchunk_ref.shape[0]
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl_c), 1)
@@ -91,20 +90,32 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
     neg_inf = jnp.float32(NEG_INF)
     jg = gf * (jj + cs).astype(jnp.float32)
     lane0 = jj == 0  # global column 0 only in the first chunk
+    # per-pair boundary type (reference start_type semantics): the
+    # closed-form row-0 / col-0 boundaries become vector selects so one
+    # compiled program serves every type mix in a batch
+    stc = st_ref[:, 0:1]  # (block_b, 1) int32
+    st_is2 = stc == -2
+    st_is13 = (stc == 1) | (stc == 3)
+    st_is12 = (stc == 1) | (stc == 2)
+    negc = jnp.full((block_b, 1), neg_inf)
     # grid = (batch blocks, row blocks), row innermost: the row-state
     # scratch re-initialises at r == 0 for every batch block
     r = pl.program_id(1)
 
     @pl.when(r == 0)
     def _():
-        r1, r2, r3 = _row0_vals(jg, gf, hf, start_type)
+        # row 0 closed forms at global columns (per-pair type select)
+        r1 = jnp.broadcast_to(negc, (block_b, nl_c))
+        r3 = r1
+        r2 = jnp.where(st_is2, -jg,
+                       jnp.where(st_is13, neg_inf, -hf - jg))
         if first_chunk:
-            corner1 = 0.0 if start_type in (1, -1) else NEG_INF
-            corner2 = 0.0 if start_type == -2 else NEG_INF
-            corner3 = 0.0 if start_type == -3 else NEG_INF
-            r1 = jnp.where(lane0, jnp.float32(corner1), r1)
-            r2 = jnp.where(lane0, jnp.float32(corner2), r2)
-            r3 = jnp.where(lane0, jnp.float32(corner3), r3)
+            corner1 = jnp.where((stc == 1) | (stc == -1), 0.0, neg_inf)
+            corner2 = jnp.where(stc == -2, 0.0, neg_inf)
+            corner3 = jnp.where(stc == -3, 0.0, neg_inf)
+            r1 = jnp.where(lane0, corner1, r1)
+            r2 = jnp.where(lane0, corner2, r2)
+            r3 = jnp.where(lane0, corner3, r3)
         row0 = _pack3((r1, r2, r3))
         state[...] = row0
         cap0 = (la3 == 0) if want_row else ((la3 == 0) & lbm3)
@@ -112,13 +123,9 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
         # mp_last of row 0 at the previous chunk's last column
         # (global col cs-1): closed-form row-0 value
         csf = (cs - 1).astype(jnp.float32)
-        if start_type == -2:
-            mp0 = -gf * csf
-        elif start_type in (1, 3):
-            mp0 = neg_inf
-        else:
-            mp0 = -hf - gf * csf
-        mp_carry[...] = jnp.full((block_b, 128), mp0, jnp.float32)
+        mp0 = jnp.where(st_is2, -gf * csf,
+                        jnp.where(st_is13, neg_inf, -hf - gf * csf))
+        mp_carry[...] = jnp.broadcast_to(mp0, (block_b, 128))
 
     def row_step(u, carry):
         pq, fin = carry
@@ -141,12 +148,10 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
         t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
         if first_chunk:
             t1 = jnp.where(lane0, neg_inf, t1)
-            if start_type == -3:
-                col0_3 = -gf * (r * rc + u + 1)
-            elif start_type in (1, 2):
-                col0_3 = neg_inf
-            else:
-                col0_3 = -hf - gf * (r * rc + u + 1)
+            i_f = jnp.float32(1.0) * (r * rc + u + 1)
+            col0_3 = jnp.where(stc == -3, -gf * i_f,
+                               jnp.where(st_is12, neg_inf,
+                                         -hf - gf * i_f))
             t3 = jnp.where(lane0, col0_3, t3)
         m13 = jnp.maximum(t1, t3)
         if first_chunk:
@@ -197,19 +202,34 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, cs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "nl_c", "rc", "g", "h", "match", "mismatch",
-                     "start_type", "first_chunk", "block_b", "interpret",
-                     "want_row"))
-def _pallas_longrow(a_pad, b_chunk, lbm, la, cs, bnd_in, *, m, nl_c, rc,
-                    g, h, match, mismatch, start_type, first_chunk,
-                    block_b, interpret, want_row=False):
-    Bp = a_pad.shape[0]
+                     "first_chunk", "block_b", "interpret", "want_row"))
+def _pallas_longrow(a_u8, b_chunk_u8, lb, la, st, cs, bnd_in, *, m, nl_c,
+                    rc, g, h, match, mismatch, first_chunk, block_b,
+                    interpret, want_row=False):
+    """One column chunk of the long fill.
+
+    ``a_u8`` is a uint8 device array covering the full row sequences
+    (upload once per fill); ``b_chunk_u8`` is THIS chunk's (Bp, nl_c)
+    uint8 window, sliced host-side — a fixed shape regardless of total
+    sequence length, so the compiled program is keyed only on the
+    quantized (rows, nl_c) geometry and reused across chunk positions,
+    bisection levels, and datasets (compiles through the evaluation
+    tunnel cost minutes and the width-keyed variant recompiled per
+    total-width). ``lb`` is the per-pair final-column index ((Bp, 128)
+    int32, -1 to disable); the capture mask for this chunk is built on
+    device from the SMEM column offset ``cs``."""
+    Bp = a_u8.shape[0]
     num_rb = -(-m // rc)
     grid = (Bp // block_b, num_rb)
+    a_pad = a_u8.astype(jnp.int32)
+    cs0 = cs[0, 0]
+    b_chunk = b_chunk_u8.astype(jnp.int32)
+    lbm = (jnp.arange(nl_c, dtype=jnp.int32)[None, :] + cs0
+           == lb[:, 0:1]).astype(jnp.int32)
     kernel = functools.partial(
         _longrow_kernel, m=m, nl_c=nl_c, rc=rc, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
-        start_type=start_type, first_chunk=first_chunk, num_rb=num_rb,
-        want_row=want_row)
+        first_chunk=first_chunk, num_rb=num_rb, want_row=want_row)
     rows_pad = num_rb * rc
     fin_w = 3 * nl_c if want_row else 128
     return pl.pallas_call(
@@ -221,6 +241,8 @@ def _pallas_longrow(a_pad, b_chunk, lbm, la, cs, bnd_in, *, m, nl_c, rc,
             pl.BlockSpec((block_b, nl_c), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl_c), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -244,7 +266,11 @@ def _pallas_longrow(a_pad, b_chunk, lbm, la, cs, bnd_in, *, m, nl_c, rc,
             pltpu.VMEM((block_b, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(a_pad, b_chunk, lbm, la, cs, bnd_in)
+    )(a_pad, b_chunk, lbm, la, st, cs, bnd_in)
+
+
+def _st_array(start_type, Bp):
+    return np.full((Bp, 128), int(start_type), np.int32)
 
 
 def pallas_long_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
@@ -264,36 +290,40 @@ def pallas_long_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     Bp = -(-B // block_b) * block_b
     num_rb = -(-m // rc)
     rows_pad = num_rb * rc
+    n_chunks = -(-(n + 1) // nl_c)
     interpret = _default_interpret(interpret)
 
     # a padded to cover _char_col chunk loads for rows up to rows_pad
     ma = -(-(rows_pad) // 128) * 128 + 128
-    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_pad = np.full((Bp, ma), int(PAD_A), np.uint8)
     a_pad[:B, :m] = a_enc
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     lb = np.asarray(len_b, np.int64)
 
-    # extended B with the '-' column at global j = 0
-    b_ext_all = np.full((Bp, n + 1 + nl_c), int(PAD_B), np.int32)
-    b_ext_all[:B, 1: n + 1] = b_enc
+    # extended B with the '-' column at global j = 0, padded to the
+    # chunk grid; chunks are sliced HOST-side so the compiled program's
+    # shapes are independent of the total width
+    b_all = np.full((Bp, n_chunks * nl_c), int(PAD_B), np.uint8)
+    b_all[:B, 1: n + 1] = b_enc
+    lb_arr = np.full((Bp, 128), -1, np.int32)
+    lb_arr[:B] = lb.astype(np.int32)[:, None]
+
+    a_dev = jnp.asarray(a_pad)
+    la_dev = jnp.asarray(la)
+    lb_dev = jnp.asarray(lb_arr)
+    st_dev = jnp.asarray(_st_array(start_type, Bp))
 
     finals = np.full((B, 3), NEG_INF, np.float32)
     bnd = jnp.zeros((rows_pad, Bp, 128), jnp.float32)
-    n_chunks = -(-(n + 1) // nl_c)
     for c in range(n_chunks):
         s = c * nl_c
-        b_chunk = np.ascontiguousarray(b_ext_all[:, s: s + nl_c])
-        lbm = np.zeros((Bp, nl_c), np.int32)
-        for k in range(B):
-            if s <= lb[k] < s + nl_c:
-                lbm[k, lb[k] - s] = 1
+        b_chunk = np.ascontiguousarray(b_all[:, s: s + nl_c])
         cs = np.array([[s]], np.int32)
         bnd, fin = _pallas_longrow(
-            a_pad, b_chunk, lbm, la, cs, bnd, m=rows_pad, nl_c=nl_c,
-            rc=rc, g=g, h=h, match=match, mismatch=mismatch,
-            start_type=start_type, first_chunk=(c == 0),
-            block_b=block_b, interpret=interpret)
+            a_dev, b_chunk, lb_dev, la_dev, st_dev, cs, bnd, m=rows_pad,
+            nl_c=nl_c, rc=rc, g=g, h=h, match=match, mismatch=mismatch,
+            first_chunk=(c == 0), block_b=block_b, interpret=interpret)
         fin = np.asarray(fin)[:B, :3]
         finals = np.maximum(finals, fin)
     return finals
@@ -311,6 +341,69 @@ def _row0_closed(n, g, h, start_type):
     out[1, 0] = 0.0 if start_type == -2 else NEG_INF
     out[2, 0] = 0.0 if start_type == -3 else NEG_INF
     return out
+
+
+def _quant_rows(m, rc):
+    """Padded row count: the next power of two (floor 4096 on real
+    rows past 2048, else the rc grid) so every bisection level, every
+    dataset, and every p maps onto ONE of ~6 compiled programs. Fresh
+    compiles through the evaluation tunnel cost minutes (loopback
+    compile server on a 2-core VM) while padding rows burn ~2.5 ms per
+    4096 at the measured chunk rate — padding is three orders of
+    magnitude cheaper."""
+    if m <= 2048:
+        return -(- (1 << (max(m, 1) - 1).bit_length()) // rc) * rc
+    rows = max(4096, 1 << (m - 1).bit_length())
+    return -(-rows // rc) * rc
+
+
+def _longrow_lastrow_fins(jobs, g, h, match, mismatch, chunk_cols, rc,
+                          interpret):
+    """Run the chunked fill for a batch of (a_enc, b_enc, start_type)
+    jobs capturing each job's last DP row; returns (device fins list
+    [(Bp, 3*nl_c) per chunk], nl_c, Bp). Rows stay ON DEVICE."""
+    block_b = 8
+    J = len(jobs)
+    Bp = -(-max(J, 1) // block_b) * block_b
+    m_max = max((len(a) for a, _, _ in jobs), default=0)
+    n_max = max((len(b) for _, b, _ in jobs), default=0)
+    # power-of-two chunk width (<= chunk_cols): one compiled program
+    # per (rows_pad, nl_c) bucket, shared across levels and datasets
+    nl_c = -(-min(chunk_cols,
+                  1 << max(n_max, 127).bit_length()) // 128) * 128
+    rows_pad = _quant_rows(max(m_max, 1), rc)
+    n_chunks = -(-(n_max + 1) // nl_c)
+
+    ma = -(-rows_pad // 128) * 128 + 128
+    a_pad = np.full((Bp, ma), int(PAD_A), np.uint8)
+    la = np.full((Bp, 128), -1, np.int32)
+    st = np.full((Bp, 128), -1, np.int32)
+    b_all = np.full((Bp, n_chunks * nl_c), int(PAD_B), np.uint8)
+    for k, (a_e, b_e, st_k) in enumerate(jobs):
+        a_pad[k, : len(a_e)] = a_e
+        la[k] = len(a_e)
+        st[k] = int(st_k)
+        b_all[k, 1: len(b_e) + 1] = b_e
+    lb = np.full((Bp, 128), -1, np.int32)  # capture mask off (want_row)
+
+    a_dev = jnp.asarray(a_pad)
+    la_dev = jnp.asarray(la)
+    lb_dev = jnp.asarray(lb)
+    st_dev = jnp.asarray(st)
+
+    fins = []
+    bnd = jnp.zeros((rows_pad, Bp, 128), jnp.float32)
+    for c in range(n_chunks):
+        s = c * nl_c
+        b_chunk = np.ascontiguousarray(b_all[:, s: s + nl_c])
+        cs = np.array([[s]], np.int32)
+        bnd, fin = _pallas_longrow(
+            a_dev, b_chunk, lb_dev, la_dev, st_dev, cs, bnd, m=rows_pad,
+            nl_c=nl_c, rc=rc, g=g, h=h, match=match, mismatch=mismatch,
+            first_chunk=(c == 0), block_b=block_b, interpret=interpret,
+            want_row=True)
+        fins.append(fin)
+    return fins, nl_c, Bp
 
 
 def pallas_long_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
@@ -331,38 +424,97 @@ def pallas_long_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
     m, n = a_enc.shape[0], b_enc.shape[0]
     if m == 0:
         return _row0_closed(n, g, h, start_type)
-    block_b = 8
-    nl_c = -(-min(chunk_cols, n + 1) // 128) * 128
-    # quantize the padded row count so bisection's shrinking subproblems
-    # reuse compiled kernels (the capture keys on la, padding rows only
-    # burn fill time)
-    rq = max(rc, min(4096, 1 << (m - 1).bit_length()))
-    num_rb = -(-(-(-m // rq) * rq) // rc)
-    rows_pad = num_rb * rc
     interpret = _default_interpret(interpret)
-
-    ma = -(-rows_pad // 128) * 128 + 128
-    a_pad = np.full((block_b, ma), int(PAD_A), np.int32)
-    a_pad[0, :m] = a_enc
-    la = np.full((block_b, 128), -1, np.int32)
-    la[0] = m
-    b_ext_all = np.full((block_b, n + 1 + nl_c), int(PAD_B), np.int32)
-    b_ext_all[0, 1: n + 1] = b_enc
-    lbm = np.zeros((block_b, nl_c), np.int32)  # unused under want_row
-
+    fins, nl_c, _ = _longrow_lastrow_fins(
+        [(a_enc, b_enc, start_type)], g, h, match, mismatch, chunk_cols,
+        rc, interpret)
     row = np.empty((3, n + 1), np.float32)
-    bnd = jnp.zeros((rows_pad, block_b, 128), jnp.float32)
-    n_chunks = -(-(n + 1) // nl_c)
-    for c in range(n_chunks):
+    for c, fin in enumerate(fins):
         s = c * nl_c
-        b_chunk = np.ascontiguousarray(b_ext_all[:, s: s + nl_c])
-        cs = np.array([[s]], np.int32)
-        bnd, fin = _pallas_longrow(
-            a_pad, b_chunk, lbm, la, cs, bnd, m=rows_pad, nl_c=nl_c,
-            rc=rc, g=g, h=h, match=match, mismatch=mismatch,
-            start_type=start_type, first_chunk=(c == 0),
-            block_b=block_b, interpret=interpret, want_row=True)
         width = min(nl_c, n + 1 - s)
+        if width <= 0:
+            break
         chunk_row = np.asarray(fin[0]).reshape(3, nl_c)
         row[:, s: s + width] = chunk_row[:, :width]
     return row
+
+
+@functools.partial(jax.jit, static_argnames=("nl_c", "C", "h"))
+def _combine_crossings(fins, n_vec, *, nl_c, C, h):
+    """On-device crossing combine: fwd/rev last rows -> (j, t, score).
+
+    ``fins``: (n_chunks, Bp, 3*nl_c) stacked chunk captures with job
+    2c = forward fill of crossing c, job 2c+1 = reverse fill.
+    The optimal path crosses row i_mid of crossing c at
+    argmax_j,t of T1+TR1, T2+TR2+h, T3+TR3+h (gap-open refund when a
+    gap is split, partial.cpp:101-105); tie-break = smallest j, then
+    table order T1,T2,T3 (matches crossing_on_row's lexsort). Only 3
+    scalars per crossing leave the device.
+    """
+    NC, Bp, _ = fins.shape
+    # (NC, Bp, 3, nl_c) -> (Bp, 3, NC*nl_c) full rows per job
+    rows = fins.reshape(NC, Bp, 3, nl_c).transpose(1, 2, 0, 3) \
+        .reshape(Bp, 3, NC * nl_c)
+    Ntot = NC * nl_c
+    F = rows[0: 2 * C: 2]   # (C, 3, Ntot) forward rows
+    R = rows[1: 2 * C: 2]   # (C, 3, Ntot) reverse rows
+    jv = jnp.arange(Ntot, dtype=jnp.int32)[None, :]     # (1, Ntot)
+    n_col = n_vec[:, None]                               # (C, 1)
+    ridx = jnp.clip(n_col - jv, 0, Ntot - 1)             # rev col of j
+    Rrev = jnp.take_along_axis(
+        R, jnp.broadcast_to(ridx[:, None, :], R.shape), axis=2)
+    hoff = jnp.array([0.0, h, h], jnp.float32)[None, :, None]
+    tot = F + Rrev + hoff
+    valid = jv <= n_col                                  # (C, Ntot)
+    tot = jnp.where(valid[:, None, :], tot, jnp.float32(NEG_INF))
+    best = jnp.max(tot, axis=(1, 2))                     # (C,)
+    key = jv[:, None, :] * 4 + jnp.arange(3)[None, :, None]  # j*4 + t
+    key = jnp.where(tot >= best[:, None, None], key, jnp.int32(2**30))
+    kmin = jnp.min(key.reshape(C, -1), axis=1)
+    return kmin // 4, kmin % 4 + 1, best
+
+
+def batched_crossings(tasks, g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                      chunk_cols=8192, rc=256, interpret=None):
+    """Crossing points for a whole bisection level in ONE batched fill.
+
+    ``tasks``: list of (a_enc, b_enc, i_mid, start_type, end_type).
+    Each task contributes a forward job (a[:i_mid], b, start_type) and a
+    reverse job (a[i_mid:] reversed, b reversed, end_type) to a single
+    batched column-chunked fill; the fwd+rev combine and argmax run on
+    device (_combine_crossings). Returns [(j, t, score)] per task —
+    value-identical to crossing_on_row (tests assert so).
+    """
+    if not tasks:
+        return []
+    jobs = []
+    for (a_e, b_e, i_mid, st, en) in tasks:
+        jobs.append((np.asarray(a_e, np.uint8)[:i_mid], b_e, st))
+        jobs.append((np.ascontiguousarray(
+            np.asarray(a_e, np.uint8)[i_mid:][::-1]),
+            np.ascontiguousarray(np.asarray(b_e, np.uint8)[::-1]), en))
+    interpret = _default_interpret(interpret)
+    fins, nl_c, Bp = _longrow_lastrow_fins(
+        jobs, g, h, match, mismatch, chunk_cols, rc, interpret)
+    C = len(tasks)
+    # pad the combine's static geometry (chunk count -> power of two,
+    # crossings -> all Bp//2 batch slots) so the compiled program is
+    # keyed on coarse buckets only — fresh compiles cost minutes here
+    NC = len(fins)
+    NCp = 1 << max(NC - 1, 0).bit_length() if NC > 1 else 1
+    if NCp > NC:
+        pad = jnp.full(fins[0].shape, jnp.float32(NEG_INF))
+        fins = fins + [pad] * (NCp - NC)
+    Cp = Bp // 2
+    n_vec = np.zeros(Cp, np.int32)
+    n_vec[:C] = [len(b) for _, b, _, _, _ in tasks]
+    jb, tb, best = _combine_crossings(
+        jnp.stack(fins), jnp.asarray(n_vec), nl_c=nl_c, C=Cp,
+        h=float(h))
+    jb, tb, best = np.asarray(jb), np.asarray(tb), np.asarray(best)
+    out = []
+    for c in range(C):
+        # reverse row is indexed by reversed j (TR[j] = rev[n - j]) —
+        # already applied in the combine's gather
+        out.append((int(jb[c]), int(tb[c]), float(best[c])))
+    return out

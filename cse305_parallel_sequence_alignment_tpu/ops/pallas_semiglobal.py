@@ -237,8 +237,8 @@ def _sg_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
     for u in range(k_steps):
         i = dblk * k_steps + u
 
-        @pl.when(i == 0)
-        def _():
+        @pl.when((i == 0) | (i >= num_rows))
+        def _(u=u):
             dirs_ref[u] = jnp.zeros((block_b, nl), jnp.int32).astype(
                 jnp.uint8)
 

@@ -27,6 +27,11 @@ def prefix_sum(x, axis: int = -1):
     """Inclusive running sum along ``axis``.
 
     TPU-native equivalent of the reference's ``ParallelPrefix``
-    (main_alignment.cpp:81-156), used for work-estimate prefix sums (C6).
+    (main_alignment.cpp:81-156). VESTIGIAL BY DESIGN: the reference
+    prefix-sums per-subproblem omega work estimates to deal processors
+    (C6); this framework's load balance comes from static length
+    bucketing + dirs-budget chunking (models/batch.py), which needs no
+    runtime scan. Kept as the documented C5a counterpart, covered by
+    tests/test_prefix.py, for users porting omega-style schedulers.
     """
     return jax.lax.associative_scan(jnp.add, x, axis=axis)

@@ -28,6 +28,7 @@ matrix is O(m·n/p), the reference's stated reason for the layer.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -99,48 +100,63 @@ def crossing_on_row(a_enc, b_enc, i_mid, params, start_type, end_type,
 
 
 def balanced_partition(a, b, p, params=ScoringParams(), start_type=-1,
-                       end_type=-1, lastrow_fn=_lastrow_rowscan):
+                       end_type=-1, lastrow_fn=_lastrow_rowscan,
+                       crossings_fn=None):
     """p+1 crossing points [(i, j, t)] splitting the DP grid into p
     row-balanced segments; interior points carry positive table types.
 
     The first point is (0, 0, start_type) and the last (m, n, -end_type)
     so segments consume them as the reference's optimal_alignment does
     (start = point.t, end = -next_point.t; main_alignment.cpp:250-251).
+
+    The bisection runs LEVEL BY LEVEL: all crossings at one depth are
+    independent, so with ``crossings_fn`` (ops.pallas_longrow.
+    batched_crossings) each level is ONE batched device fill —
+    ~log2(p) rounds instead of p-1 serial crossing searches, and the
+    forward + reverse fills of every crossing share the batch.
     """
     a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else np.asarray(a)
     b_enc = encode_seq(b) if isinstance(b, (str, bytes)) else np.asarray(b)
     m, n = a_enc.shape[0], b_enc.shape[0]
 
     points = {0: (0, 0, start_type), p: (m, n, -end_type)}
-
-    def rec(k_lo, k_hi):
-        """Fill in point for k_mid between segment indices k_lo < k_hi."""
-        if k_hi - k_lo < 2:
-            return
-        k_mid = (k_lo + k_hi) // 2
-        i_lo, j_lo, t_lo = points[k_lo]
-        i_hi, j_hi, t_hi = points[k_hi]
-        # target global row for this split: proportional in segment index
-        i_mid = i_lo + (i_hi - i_lo) * (k_mid - k_lo) // (k_hi - k_lo)
-        sub_a = a_enc[i_lo:i_hi]
-        sub_b = b_enc[j_lo:j_hi]
-        st = t_lo if k_lo > 0 else start_type
-        en = (-t_hi) if k_hi < p else end_type
-        if sub_a.shape[0] == 0:
-            # zero rows: the path is a pure gap-in-A run; any j split works
-            points[k_mid] = (i_lo, (j_lo + j_hi) // 2, 2)
-        elif sub_b.shape[0] == 0:
-            # zero columns: pure gap-in-B run; split the row range
-            points[k_mid] = (i_mid, j_lo, 3)
-        else:
-            j_rel, t, _ = crossing_on_row(
-                sub_a, sub_b, i_mid - i_lo, params, st, en,
-                lastrow_fn=lastrow_fn)
-            points[k_mid] = (i_mid, j_lo + j_rel, t)
-        rec(k_lo, k_mid)
-        rec(k_mid, k_hi)
-
-    rec(0, p)
+    frontier = [(0, p)]
+    while frontier:
+        tasks, keys, nxt = [], [], []
+        for (k_lo, k_hi) in frontier:
+            if k_hi - k_lo < 2:
+                continue
+            k_mid = (k_lo + k_hi) // 2
+            i_lo, j_lo, t_lo = points[k_lo]
+            i_hi, j_hi, t_hi = points[k_hi]
+            # target global row for this split: proportional in index
+            i_mid = i_lo + (i_hi - i_lo) * (k_mid - k_lo) // (k_hi - k_lo)
+            sub_a = a_enc[i_lo:i_hi]
+            sub_b = b_enc[j_lo:j_hi]
+            st = t_lo if k_lo > 0 else start_type
+            en = (-t_hi) if k_hi < p else end_type
+            if sub_a.shape[0] == 0:
+                # zero rows: pure gap-in-A run; any j split works
+                points[k_mid] = (i_lo, (j_lo + j_hi) // 2, 2)
+            elif sub_b.shape[0] == 0:
+                # zero columns: pure gap-in-B run; split the row range
+                points[k_mid] = (i_mid, j_lo, 3)
+            else:
+                tasks.append((sub_a, sub_b, i_mid - i_lo, st, en))
+                keys.append((k_mid, i_mid, j_lo))
+            nxt.append((k_lo, k_mid))
+            nxt.append((k_mid, k_hi))
+        if tasks:
+            if crossings_fn is not None:
+                results = crossings_fn(tasks)
+            else:
+                results = [
+                    crossing_on_row(sa, sb, im, params, st, en,
+                                    lastrow_fn=lastrow_fn)
+                    for (sa, sb, im, st, en) in tasks]
+            for (k_mid, i_mid, j_lo), (j_rel, t, _) in zip(keys, results):
+                points[k_mid] = (i_mid, j_lo + j_rel, t)
+        frontier = nxt
     return [points[k] for k in range(p + 1)]
 
 
@@ -190,6 +206,21 @@ class PartitionedAligner:
                 return _lastrow_longrow
         return _lastrow_rowscan
 
+    def _crossings_fn(self, m, n):
+        """Level-batched crossing search (one fused fwd+rev device fill
+        per bisection depth) when the longrow backend is in play."""
+        use = self.fill_backend == "longrow"
+        if self.fill_backend == "auto" and m * n > self.long_threshold:
+            import jax
+            use = jax.default_backend() == "tpu"
+        if not use:
+            return None
+        from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow \
+            import batched_crossings
+        g, h, match, mismatch = self.params.astuple()
+        return functools.partial(batched_crossings, g=g, h=h,
+                                 match=match, mismatch=mismatch)
+
     def _pick_p(self, m, n):
         """Segment count: explicit, or smallest p whose per-segment
         traceback matrix (skew layout, ~(m/p + n/p) * (n/p) bytes) fits
@@ -212,7 +243,8 @@ class PartitionedAligner:
         return balanced_partition(
             a_enc, b_enc, self._pick_p(len(a_enc), len(b_enc)),
             self.params,
-            lastrow_fn=self._lastrow_fn(len(a_enc), len(b_enc)))
+            lastrow_fn=self._lastrow_fn(len(a_enc), len(b_enc)),
+            crossings_fn=self._crossings_fn(len(a_enc), len(b_enc)))
 
     def align(self, a, b) -> AlignmentResult:
         a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else \
@@ -224,7 +256,9 @@ class PartitionedAligner:
         points = balanced_partition(
             a_enc, b_enc, self._pick_p(a_enc.shape[0], b_enc.shape[0]),
             self.params,
-            lastrow_fn=self._lastrow_fn(a_enc.shape[0], b_enc.shape[0]))
+            lastrow_fn=self._lastrow_fn(a_enc.shape[0], b_enc.shape[0]),
+            crossings_fn=self._crossings_fn(a_enc.shape[0],
+                                            b_enc.shape[0]))
 
         # Solve all segments as one bucketed batch per (start, end) type.
         segments = []
@@ -234,22 +268,37 @@ class PartitionedAligner:
             en = -t1 if k < len(points) - 2 else -1
             segments.append((k, i0, j0, a_enc[i0:i1], b_enc[j0:j1], st, en))
 
-        by_type = {}
-        for seg in segments:
-            by_type.setdefault((seg[5], seg[6]), []).append(seg)
         chains = {}
-        total = 0.0
-        for (st, en), segs in by_type.items():
-            aligner = BatchAligner(
-                params=self.params, start_type=st, end_type=en,
-                parity_swap=False, bucket_quantum=self.bucket_quantum,
-                backend=self.backend)
+        aligner = BatchAligner(
+            params=self.params, parity_swap=False,
+            bucket_quantum=self.bucket_quantum, backend=self.backend)
+        if aligner._use_pallas():
+            # one mixed-type batch: the fused kernel takes per-pair
+            # boundary types, so every segment ships in a single
+            # bucketed dispatch stream regardless of anchor types
             results = aligner.align_batch(
-                [(s[3], s[4]) for s in segs],
-                offsets=[(s[1], s[2]) for s in segs],
-                traceback_mode="full")
-            for seg, res in zip(segs, results):
+                [(s[3], s[4]) for s in segments],
+                offsets=[(s[1], s[2]) for s in segments],
+                traceback_mode="full",
+                start_types=[s[5] for s in segments],
+                end_types=[s[6] for s in segments])
+            for seg, res in zip(segments, results):
                 chains[seg[0]] = res
+        else:
+            by_type = {}
+            for seg in segments:
+                by_type.setdefault((seg[5], seg[6]), []).append(seg)
+            for (st, en), segs in by_type.items():
+                aligner = BatchAligner(
+                    params=self.params, start_type=st, end_type=en,
+                    parity_swap=False, bucket_quantum=self.bucket_quantum,
+                    backend=self.backend)
+                results = aligner.align_batch(
+                    [(s[3], s[4]) for s in segs],
+                    offsets=[(s[1], s[2]) for s in segs],
+                    traceback_mode="full")
+                for seg, res in zip(segs, results):
+                    chains[seg[0]] = res
         full_chain = []
         for k in range(len(segments)):
             full_chain.extend(chains[k].chain)

@@ -86,3 +86,50 @@ def test_long_lastrow_matches_rowscan_lastrow():
             got = pallas_long_lastrow(a, b, start_type=st, chunk_cols=cc,
                                       rc=rc)
             assert np.array_equal(got, want), (m, n, cc, rc, st)
+
+
+def test_batched_crossings_matches_serial():
+    """One batched fwd+rev device fill per level == serial
+    crossing_on_row (values, argmax position, and tie-break)."""
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        batched_crossings,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+        crossing_on_row,
+    )
+
+    rng = np.random.default_rng(23)
+    params = ScoringParams()
+    tasks = []
+    for (m, n, st, en) in [(60, 90, -1, -1), (45, 70, 1, -1),
+                           (33, 40, 2, 3), (80, 30, 3, 1),
+                           (17, 260, 1, 2), (64, 64, -1, 1)]:
+        a = rng.integers(65, 69, m).astype(np.uint8)
+        b = rng.integers(65, 69, n).astype(np.uint8)
+        tasks.append((a, b, m // 2, st, en))
+    got = batched_crossings(tasks, chunk_cols=128, rc=16)
+    for (a, b, i_mid, st, en), (j, t, best) in zip(tasks, got):
+        jw, tw, bw = crossing_on_row(a, b, i_mid, params, st, en)
+        assert (j, t) == (jw, tw), (st, en, (j, t), (jw, tw))
+        assert best == bw, (st, en, best, bw)
+
+
+def test_balanced_partition_batched_equals_serial():
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        batched_crossings,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+        balanced_partition,
+    )
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(65, 69, 210).astype(np.uint8)
+    b = rng.integers(65, 69, 290).astype(np.uint8)
+    want = balanced_partition(a, b, 5, ScoringParams())
+    got = balanced_partition(
+        a, b, 5, ScoringParams(),
+        crossings_fn=lambda tasks: batched_crossings(
+            tasks, chunk_cols=128, rc=16))
+    assert got == want

@@ -64,3 +64,58 @@ def test_overlap_other_params():
     want, wt, wi, wj = ov_oracle_best(a, b, params)
     assert scores[0] == want
     assert (tables[0], eis[0], ejs[0]) == (wt, wi, wj)
+
+
+def test_ov_pallas_outs_match_wavefront():
+    """pallas_overlap_dirs_batch outs == overlap_score_batch (value,
+    table, end cell) across ragged lengths — same end tie order."""
+    import jax.numpy as jnp
+
+    from cse305_parallel_sequence_alignment_tpu.ops.overlap import (
+        overlap_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_overlap import (
+        pallas_overlap_dirs_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.wavefront import (
+        PAD_A,
+        PAD_B,
+    )
+
+    rng = np.random.default_rng(83)
+    B, bm, bn = 7, 40, 60
+    a = np.full((B, bm), PAD_A, np.uint8)
+    b = np.full((B, bn), PAD_B, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for k in range(B):
+        la[k] = int(rng.integers(1, bm + 1))
+        lb[k] = int(rng.integers(1, bn + 1))
+        a[k, : la[k]] = rng.integers(65, 69, la[k])
+        b[k, : lb[k]] = rng.integers(65, 69, lb[k])
+    want = np.asarray(overlap_score_batch(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la),
+        jnp.asarray(lb)))
+    got, _ = pallas_overlap_dirs_batch(a, b, la, lb)
+    assert np.array_equal(got, want[:, :4])
+
+
+def test_ov_pallas_align_matches_wavefront_path():
+    """backend="pallas" align_batch (row-dirs kernel + device walk) ==
+    the XLA wavefront path: chains, scores, CIGARs, spans."""
+    rng = np.random.default_rng(89)
+    pairs = [(rand_seq(rng, int(rng.integers(5, 50))),
+              rand_seq(rng, int(rng.integers(5, 50)))) for _ in range(9)]
+    # make a couple of real dovetails so end cells land on both edges
+    pairs.append((rand_seq(rng, 30) + "ACGTACGTAC", "ACGTACGTAC"
+                  + rand_seq(rng, 25)))
+    pairs.append(("ACGTTGCAAC" + rand_seq(rng, 20), rand_seq(rng, 33)
+                  + "ACGTTGCAAC"))
+    got = OverlapBatchAligner(backend="pallas").align_batch(pairs)
+    want = OverlapBatchAligner(backend="wavefront").align_batch(pairs)
+    for g_, w_ in zip(got, want):
+        assert g_.score == w_.score
+        assert g_.chain == w_.chain
+        assert g_.cigar == w_.cigar
+        assert g_.a_span == w_.a_span and g_.b_span == w_.b_span
+        assert g_.end_table == w_.end_table

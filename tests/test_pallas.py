@@ -205,3 +205,68 @@ def test_align_batch_chunk_pipeline():
         assert g_.chain == w_.chain
         assert g_.score == w_.score
         assert g_.aligned_a == w_.aligned_a and g_.aligned_b == w_.aligned_b
+
+
+def test_rowdirs_with_runs_rle_walk_equivalence():
+    """with_runs uint16 dirs: low byte == plain dirs byte, and the RLE
+    walk's expanded op stream is bit-identical to the per-step walk."""
+    import jax
+    import jax.numpy as jnp
+
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        _end_choice_vec,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
+        _device_walk,
+        _walk_core_rle,
+        expand_rle_ops,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _default_interpret,
+        _pallas_rowdirs,
+        rowscan_prep,
+    )
+
+    rng = np.random.default_rng(41)
+    B, bm, bn = 5, 70, 90
+    a = np.full((B, bm), PAD_A, np.uint8)
+    b = np.full((B, bn), PAD_B, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for k in range(B):
+        la[k] = int(rng.integers(1, bm + 1))
+        lb[k] = int(rng.integers(1, bn + 1))
+        a[k, : la[k]] = rng.integers(65, 69, la[k])
+        b[k, : lb[k]] = rng.integers(65, 69, lb[k])
+    kw = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
+              interpret=_default_interpret(None))
+    args, meta = rowscan_prep(a, b, la, lb, carries=17)
+    meta.pop("uniform_la", None)
+    st = np.full((args[0].shape[0], 128), -1, np.int32)
+    d16, fin16 = _pallas_rowdirs(*args[:4], st, with_runs=True, **kw,
+                                 **meta)
+    d8, fin8 = _pallas_rowdirs(*args[:4], st, with_runs=False, **kw,
+                               **meta)
+    d16, d8 = np.asarray(d16), np.asarray(d8)
+    assert np.array_equal(d16 & 0xFF, d8.astype(np.uint16))
+    assert np.array_equal(np.asarray(fin16), np.asarray(fin8))
+
+    tables, _ = _end_choice_vec(np.asarray(fin16)[:B, :3], -1, 2.0)
+    max_steps = int(la.max() + lb.max()) + 1
+    plain = np.asarray(_device_walk(
+        jnp.asarray(d8), jnp.asarray(la), jnp.asarray(lb),
+        jnp.asarray(tables), max_steps=max_steps, pair_axis=1,
+        layout="row"))
+    ent, used = jax.jit(
+        lambda d, i, j, t: _walk_core_rle(d, i, j, t,
+                                          max_steps=max_steps))(
+        jnp.asarray(d16), jnp.asarray(la), jnp.asarray(lb),
+        jnp.asarray(tables))
+    dense = expand_rle_ops(np.asarray(ent).T, max_steps)
+    L = dense.shape[1]
+    # identical until each pair's edge; both are zero past it
+    for r in range(B):
+        stop = np.argmax(plain[r] == 0) if (plain[r] == 0).any() \
+            else max_steps
+        assert np.array_equal(dense[r, :stop], plain[r, :stop]), r
+    assert int(used) >= 1

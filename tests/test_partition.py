@@ -134,3 +134,20 @@ def test_partition_long_dataset_pair_ci():
     # rendered rows replay to the original sequences
     assert got.aligned_a.replace("-", "") == bytes(ea).decode()
     assert got.aligned_b.replace("-", "") == bytes(eb).decode()
+
+
+def test_partitioned_aligner_fused_mixed_type_batch():
+    """backend="pallas" routes ALL segments (mixed start/end anchor
+    types) through ONE fused batch with per-pair dynamic types; result
+    must equal the grouped wavefront path and the unpartitioned
+    aligner."""
+    rng = np.random.default_rng(57)
+    a = "".join(rng.choice(list("ACGT"), 300))
+    b = "".join(rng.choice(list("ACGT"), 340))
+    fused = PartitionedAligner(p=5, backend="pallas").align(a, b)
+    plain = PartitionedAligner(p=5, backend="wavefront").align(a, b)
+    whole = oracle_align(a, b)
+    assert fused.score == plain.score == whole.score
+    assert fused.chain == plain.chain
+    assert fused.aligned_a == plain.aligned_a
+    assert fused.aligned_b == plain.aligned_b
