@@ -63,10 +63,11 @@ def _encode_many(seqs):
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "block_b", "g", "h", "match",
-                     "mismatch", "B", "max_steps", "interpret"))
+                     "mismatch", "B", "max_steps", "k_steps",
+                     "interpret"))
 def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
                      *, m, n, nl, block_b, g, h, match, mismatch, B,
-                     max_steps, interpret):
+                     max_steps, k_steps=8, interpret=False):
     """One XLA program: rowdirs Pallas fill (with diagonal-run lengths)
     -> end-table choice -> on-device RLE walk. Dispatch latency (~25 ms
     through the evaluation tunnel) halves vs separate fill/walk
@@ -78,14 +79,15 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
     from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
         _walk_core_rle,
     )
-    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
-        _pallas_rowdirs,
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_rowcb import (
+        _pallas_rowcb,
     )
 
-    dirs16, fin = _pallas_rowdirs(
+    dirs16, fin = _pallas_rowcb(
         a_pad, b_ext, lbmask, la_t, st_t, m=m, n=n, nl=nl, g=g, h=h,
-        match=match, mismatch=mismatch,
-        block_b=block_b, interpret=interpret, with_runs=True)
+        match=match, mismatch=mismatch, k_steps=k_steps,
+        block_b=block_b, interpret=interpret, want_dirs=True,
+        with_runs=True)
     finals = fin[:B, :3]
     # end-table choice, per-pair dynamic end type (tie order
     # T1 >= T2 >= T3, gap-open refund for forced-into-gap ends)
@@ -103,7 +105,10 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
     sc = jnp.where(forced, sc_forced, sc_free)
     entries, used = _walk_core_rle(dirs16, la_v, lb_v, tb,
                                    max_steps=max_steps, pair_axis=1)
-    return entries, used, tb, sc
+    # capped prefix ships WITH the scores in one host transfer; the
+    # full buffer stays on device for the rare used > cap overflow
+    cap = min(entries.shape[0], max(256, max_steps // 16))
+    return entries, entries[:cap], used, tb, sc
 
 
 def _end_choice_vec(finals, end_type, h):
@@ -336,11 +341,17 @@ class BatchAligner:
         for key, idxs in buckets.items():
             bm, bn = key
             if self.matrix is None and self._use_pallas():
-                # row-layout dirs: (m+1 rounded to k_steps) x nl bytes
-                per_pair = (bm + 16) * (-(-(bn + 1) // 128) * 128)
+                # row-layout uint16 dirs (codes + run lengths):
+                # (m+1 rounded to k_steps) x nl x 2 bytes
+                per_pair = 2 * (bm + 16) * (-(-(bn + 1) // 128) * 128)
             else:  # skew-T layout
                 per_pair = (bm + bn + 1) * (bn + 1)
             step = max(1, min(self.max_batch, self.dirs_budget // per_pair))
+            if len(idxs) >= 64 and step >= len(idxs):
+                # split big single-chunk batches in two so the second
+                # chunk's device time hides the first's host replay +
+                # render (25% more pairs/s in the paired chip A/B)
+                step = -(-len(idxs) // 2)
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)
@@ -462,12 +473,17 @@ class BatchAligner:
         import jax.numpy as jnp
 
         from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
-            import _default_interpret, rowscan_prep
+            import _default_interpret
+        from cse305_parallel_sequence_alignment_tpu.ops.pallas_rowcb \
+            import rowcb_prep
 
-        args, meta = rowscan_prep(a, b, la, lb, carries=17)
+        # k_steps=2 shrinks the double-buffered uint16 dirs block so
+        # block_b stays 64 at 2 kb buckets — the issue-limited VPU runs
+        # ~1.6x faster on (64, 1024) ops than (32, 1024) (measured)
+        args, meta = rowcb_prep(a, b, la, lb, self.start_type,
+                                carries=11)
         B = la.shape[0]
-        Bp = args[0].shape[0]
-        st_t = np.full((Bp, 128), int(self.start_type), np.int32)
+        args, st_t = args[:4], args[4]
         if st_vec is not None:
             st_t[:B] = np.asarray(st_vec, np.int32)[:, None]
         en_v = np.full((B,), int(self.end_type), np.int32)
@@ -475,14 +491,22 @@ class BatchAligner:
             en_v[:] = np.asarray(en_vec, np.int32)
         max_steps = int(la.max(initial=0) + lb.max(initial=0)) + 1
         g, h, match, mismatch = self.params.astuple()
-        entries, used, tables, scores = _fused_fill_walk(
-            *args[:4], st_t, jnp.asarray(la, jnp.int32),
+        entries, ent_cap, used, tables, scores = _fused_fill_walk(
+            *args, st_t, jnp.asarray(la, jnp.int32),
             jnp.asarray(lb, jnp.int32), jnp.asarray(en_v),
             m=meta["m"], n=meta["n"], nl=meta["nl"],
             block_b=meta["block_b"], g=g, h=h, match=match,
             mismatch=mismatch, B=B, max_steps=max_steps,
-            interpret=_default_interpret(None))
-        return entries, used, tables, scores, max_steps
+            k_steps=2, interpret=_default_interpret(None))
+        # start device->host copies NOW: by collect time (the pipeline
+        # dispatches the next chunk first) the bytes are host-side and
+        # the fetch costs ~0 round trips
+        for x in (ent_cap, used, tables, scores):
+            try:
+                x.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - interpret-mode arrays
+                break
+        return entries, ent_cap, used, tables, scores, max_steps
 
     def _collect_fused(self, handles, la, lb, mode, offsets, chunk):
         """Fetch a dispatched chunk (scores + the USED rounds of the
@@ -496,12 +520,16 @@ class BatchAligner:
         from cse305_parallel_sequence_alignment_tpu.ops.device_walk \
             import expand_rle_ops, replay_ops
 
-        entries_d, used_d, tables_d, scores_d, max_steps = handles
-        used, tables, scores = jax.device_get(
-            (used_d, tables_d, scores_d))
-        rounds_cap = entries_d.shape[0]
-        rpad = min(rounds_cap, -(-max(int(used), 1) // 256) * 256)
-        ent = jax.device_get(entries_d[:rpad])
+        entries_d, ent_cap_d, used_d, tables_d, scores_d, max_steps = \
+            handles
+        ent, used, tables, scores = jax.device_get(
+            (ent_cap_d, used_d, tables_d, scores_d))
+        if int(used) > ent.shape[0]:
+            # overflow past the shipped cap (atypical paths): fetch the
+            # full used prefix in a second round trip
+            rounds_cap = entries_d.shape[0]
+            rpad = min(rounds_cap, -(-int(used) // 256) * 256)
+            ent = jax.device_get(entries_d[:rpad])
         B = len(chunk)
         ops = expand_rle_ops(ent.T[:B], max_steps)
         tt, ii, jj, lens = replay_ops(

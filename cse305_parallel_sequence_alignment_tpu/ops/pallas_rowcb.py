@@ -1,0 +1,352 @@
+"""Column-blocked row-sweep Pallas kernel: score + dirs + run-length
+dirs in ONE program family whose every vector op is <= 1024 lanes.
+
+Why this exists (measured on the evaluation v5e, round 3): Mosaic
+compile time falls off a cliff when kernel ops exceed 8 f32 vregs —
+the same row-sweep body compiles in ~2.5 s at 1024 lanes and in
+380-900 s at 1152+ lanes, and compiled programs do NOT survive process
+restarts here (the loopback compile service re-compiles everything).
+The whole-row kernels (ops/pallas_fill.py rowscan/rowdirs) are
+therefore unusable past 1 kb buckets in fresh processes; this kernel
+processes each DP row in <=1024-lane column blocks carried by
+(block_b, 1) boundary registers — the in-register version of the
+longrow kernel's HBM boundary records (ops/pallas_longrow.py) — so the
+compiled program stays under the cliff at any bucket width that fits
+VMEM (~16 kb columns).
+
+Semantics are identical to _rowdirs_kernel / _rowscan_kernel
+(tests assert cell- and byte-equality): same Gotoh recurrences, same
+T2 prefix-max linearization (reference P2, subproblem_alignment.cpp:
+237-325), same direction tie orders (B3), same with_runs uint16
+encoding for the run-length device walk, and dynamic per-pair boundary
+types.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cse305_parallel_sequence_alignment_tpu.core import (
+    DIR_T1_SHIFT,
+    DIR_T2_SHIFT,
+    DIR_T3_SHIFT,
+    NEG_INF,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+    DEF_BLOCK_B,
+    _char_col,
+    _default_interpret,
+    _emit_row,
+    _fit_block_b,
+    _neg,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
+
+# ops wider than 8 f32 vregs (1024 lanes) trip the compile cliff
+CB = 1024
+
+
+def _blocks(nl):
+    out, s = [], 0
+    while s < nl:
+        w = min(CB, nl - s)
+        out.append((s, w))
+        s += w
+    return out
+
+
+def _lane_pm(x, w):
+    """Inclusive prefix max over <= CB lanes (log-shift sweeps)."""
+    s = 1
+    while s < w:
+        shifted = jnp.concatenate(
+            [_neg(x.shape[:-1] + (s,)), x[..., :-s]], axis=-1)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def _pf(win, col):
+    """Lane shift right by one, injecting ``col`` at lane 0."""
+    return jnp.concatenate([col, win[:, :-1]], axis=-1)
+
+
+def _last(x):
+    """(block_b, 1) copy of x's last lane.
+
+    Rolls only the final 128-lane tile (the slice start is a 128
+    multiple because column blocks are): a full-width roll is a whole
+    VPU pass, and the boundary registers need ~7 extractions per block
+    per row — measured 3x on the fill rate before this narrowing."""
+    return pltpu.roll(x[:, x.shape[1] - 128:], shift=1, axis=1)[:, 0:1]
+
+
+def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
+                  dirs_ref, fin_ref, state, fin_acc, run_state,
+                  *, m, n, nl, g, h, match, mismatch, k_steps, num_rows,
+                  want_dirs, with_runs):
+    block_b = bext_ref.shape[0]
+    dblk = pl.program_id(1)
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    la_col = la_ref[:, 0:1]
+    stc = st_ref[:, 0:1]
+    st_is2 = stc == -2
+    st_is13 = (stc == 1) | (stc == 3)
+    st_is12 = (stc == 1) | (stc == 2)
+    negc = jnp.full((block_b, 1), neg_inf)
+    zeroc = jnp.zeros((block_b, 1), jnp.int32)
+    blocks = _blocks(nl)
+    out_dtype = jnp.uint16 if with_runs else jnp.uint8
+
+    def jg_of(s, w):
+        jjb = jax.lax.broadcasted_iota(jnp.int32, (block_b, w), 1) + s
+        return jjb, gf * jjb.astype(jnp.float32)
+
+    @pl.when(dblk == 0)
+    def _():
+        for (s, w) in blocks:
+            sl = pl.ds(s, w)
+            jjb, jg = jg_of(s, w)
+            lane0 = jjb == 0
+            corner1 = jnp.where((stc == 1) | (stc == -1), 0.0, neg_inf)
+            corner2 = jnp.where(stc == -2, 0.0, neg_inf)
+            corner3 = jnp.where(stc == -3, 0.0, neg_inf)
+            row0_t2 = jnp.where(st_is2, -jg,
+                                jnp.where(st_is13, neg_inf, -hf - jg))
+            r1 = jnp.where(lane0, corner1, neg_inf)
+            r2 = jnp.where(lane0, corner2, row0_t2)
+            r3 = jnp.where(lane0, corner3, neg_inf)
+            state[0, :, sl] = r1
+            state[1, :, sl] = r2
+            state[2, :, sl] = r3
+            cap = (la_col == 0) & (lbmask_ref[:, sl] != 0)
+            fin_acc[0, :, sl] = jnp.where(cap, r1, neg_inf)
+            fin_acc[1, :, sl] = jnp.where(cap, r2, neg_inf)
+            fin_acc[2, :, sl] = jnp.where(cap, r3, neg_inf)
+            if with_runs:
+                run_state[0, :, sl] = jnp.zeros((block_b, w), jnp.int32)
+                run_state[1, :, sl] = jnp.zeros((block_b, w), jnp.int32)
+
+    def argmax3(c1, c2, c3):
+        return jnp.where((c1 >= c2) & (c1 >= c3), 0,
+                         jnp.where(c2 >= c3, 1, 2))
+
+    for u in range(k_steps):
+        i = dblk * k_steps + u
+
+        @pl.when((i == 0) | (i >= num_rows))
+        def _(u=u):
+            if want_dirs:
+                for (s, w) in blocks:
+                    dirs_ref[u, :, pl.ds(s, w)] = jnp.zeros(
+                        (block_b, w), jnp.int32).astype(out_dtype)
+
+        @pl.when((i > 0) & (i < num_rows))
+        def _(i=i, u=u):
+            a_col = _char_col(a_ref, i - 1)
+            i_f = jnp.float32(1.0) * i
+            col0_3 = jnp.where(stc == -3, -gf * i_f,
+                               jnp.where(st_is12, neg_inf,
+                                         -hf - gf * i_f))
+            # cross-block boundary registers ((block_b, 1) each): the
+            # in-register form of the longrow kernel's bnd records
+            mp_in = negc       # prev-row max3 at j-1 of block edge
+            m13_in = negc      # current-row max(T1,T3) at block edge
+            pm_in = negc       # running omega prefix-max
+            d1_in = zeroc      # prev-row argmax3 at block edge
+            d2_in = zeroc      # current-row d2 argmax at block edge
+            r_in = zeroc       # prev-row run length at block edge
+            ca_in = zeroc      # prev-row after-run code at block edge
+            for bi, (s, w) in enumerate(blocks):
+                sl = pl.ds(s, w)
+                jjb, jg = jg_of(s, w)
+                lane0 = jjb == 0
+                p1 = state[0, :, sl]
+                p2 = state[1, :, sl]
+                p3 = state[2, :, sl]
+                mp12 = jnp.maximum(p1, p2)
+                mp3 = jnp.maximum(mp12, p3)
+                fb = jnp.where(bext_ref[:, sl] == a_col,
+                               jnp.float32(match), jnp.float32(mismatch))
+                t1 = fb + _pf(mp3, mp_in)
+                t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
+                if bi == 0:
+                    t1 = jnp.where(lane0, neg_inf, t1)
+                    t3 = jnp.where(lane0, col0_3, t3)
+                m13 = jnp.maximum(t1, t3)
+                omega = jg + _pf(m13, m13_in) - gf - hf
+                if bi == 0:
+                    omega = jnp.where(lane0, neg_inf, omega)
+                pm = jnp.maximum(_lane_pm(omega, w), pm_in)
+                t2 = pm - jg
+                if bi == 0:
+                    t2 = jnp.where(lane0, neg_inf, t2)
+                mp_in = _last(mp3)
+                m13_in = _last(m13)
+                pm_in = _last(pm)
+
+                if want_dirs:
+                    am3 = argmax3(p1, p2, p3)
+                    d1 = _pf(am3, d1_in)
+                    d1_in = _last(am3)
+                    d3 = argmax3(p1, p2, p3 + hf)
+                    d2b = argmax3(t1 - hf, t2, t3 - hf)
+                    d2 = _pf(d2b, d2_in)
+                    d2_in = _last(d2b)
+                    packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) \
+                        | (d3 << DIR_T3_SHIFT)
+                    if with_runs:
+                        pr = run_state[0, :, sl]
+                        pca = run_state[1, :, sl]
+                        r_prev = _pf(pr, r_in)
+                        ca_prev = _pf(pca, ca_in)
+                        r_in = _last(pr)
+                        ca_in = _last(pca)
+                        is_run = d1 == 0
+                        capped = r_prev >= 63
+                        r_cur = jnp.where(
+                            is_run, jnp.minimum(r_prev + 1, 63), 0)
+                        ca_cur = jnp.where(
+                            is_run, jnp.where(capped, 0, ca_prev), d1)
+                        run_state[0, :, sl] = r_cur
+                        run_state[1, :, sl] = ca_cur
+                        packed = packed | (r_cur << 8) | (ca_cur << 14)
+                    dirs_ref[u, :, sl] = packed.astype(out_dtype)
+
+                cap = (la_col == i) & (lbmask_ref[:, sl] != 0)
+                fin_acc[0, :, sl] = jnp.where(cap, t1, fin_acc[0, :, sl])
+                fin_acc[1, :, sl] = jnp.where(cap, t2, fin_acc[1, :, sl])
+                fin_acc[2, :, sl] = jnp.where(cap, t3, fin_acc[2, :, sl])
+                state[0, :, sl] = t1
+                state[1, :, sl] = t2
+                state[2, :, sl] = t3
+
+        @pl.when(i == num_rows - 1)
+        def _():
+            # per-block partial maxes keep the reduce under the cliff
+            finals = []
+            for k in range(3):
+                acc = negc
+                for (s, w) in blocks:
+                    acc = jnp.maximum(acc, jnp.max(
+                        fin_acc[k, :, pl.ds(s, w)], axis=-1,
+                        keepdims=True))
+                finals.append(acc)
+            fin_ref[...] = _emit_row(finals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "block_b", "interpret", "k_steps", "want_dirs",
+                     "with_runs"))
+def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
+                  match, mismatch, block_b, interpret, k_steps=8,
+                  want_dirs=True, with_runs=True):
+    B = a_pad.shape[0]
+    num_rows = m + 1
+    num_blk = -(-num_rows // k_steps)
+    grid = (B // block_b, num_blk)
+    kernel = functools.partial(
+        _rowcb_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch), k_steps=k_steps,
+        num_rows=num_rows, want_dirs=want_dirs, with_runs=with_runs)
+    dirs_shape = (num_blk * k_steps if want_dirs else k_steps, B, nl)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (k_steps, block_b, nl),
+                (lambda b, d: (d, b, 0)) if want_dirs else
+                (lambda b, d: (0, b, 0)),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, d: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                dirs_shape, jnp.uint16 if with_runs else jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, block_b, nl), jnp.float32),
+            pltpu.VMEM((3, block_b, nl), jnp.float32),
+            pltpu.VMEM((2, block_b, nl), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a_pad, b_ext, lbmask, la, st)
+
+
+def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
+               block_b=DEF_BLOCK_B, carries=19):
+    """Host-side packing (rowscan_prep with the per-pair type plane)."""
+    a_enc = np.asarray(a_enc, np.uint8)
+    b_enc = np.asarray(b_enc, np.uint8)
+    B, m = a_enc.shape
+    n = b_enc.shape[1]
+    nl = -(-(n + 1) // 128) * 128
+    ma = max(-(-m // 128) * 128, 128) + 128
+    block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + carries * nl)
+    Bp = -(-B // block_b) * block_b
+    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_pad[:B, :m] = a_enc
+    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
+    b_ext[:B, 1: n + 1] = b_enc
+    lbmask = np.zeros((Bp, nl), np.int32)
+    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    la = np.full((Bp, 128), -1, np.int32)
+    la[:B] = np.asarray(len_a, np.int32)[:, None]
+    st = np.full((Bp, 128), int(start_type), np.int32)
+    meta = dict(m=m, n=n, nl=nl, block_b=block_b)
+    return (a_pad, b_ext, lbmask, la, st), meta
+
+
+def pallas_rowcb_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
+                             match=1.0, mismatch=0.0, start_type=-1,
+                             block_b=DEF_BLOCK_B, interpret=None):
+    """Batched score-only fill. Returns (B, 3) finals."""
+    B = np.asarray(a_enc).shape[0]
+    args, meta = rowcb_prep(a_enc, b_enc, len_a, len_b, start_type,
+                            block_b, carries=13)
+    _, fin = _pallas_rowcb(
+        *args, g=g, h=h, match=match, mismatch=mismatch,
+        interpret=_default_interpret(interpret), want_dirs=False,
+        with_runs=False, **meta)
+    return np.asarray(fin)[:B, :3]
+
+
+def pallas_rowcb_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
+                            match=1.0, mismatch=0.0, start_type=-1,
+                            block_b=DEF_BLOCK_B, device_dirs=False,
+                            with_runs=False, interpret=None):
+    """Batched dirs fill (row layout; uint16 runs when ``with_runs``)."""
+    B = np.asarray(a_enc).shape[0]
+    args, meta = rowcb_prep(a_enc, b_enc, len_a, len_b, start_type,
+                            block_b)
+    dirs, fin = _pallas_rowcb(
+        *args, g=g, h=h, match=match, mismatch=mismatch,
+        interpret=_default_interpret(interpret), want_dirs=True,
+        with_runs=with_runs, **meta)
+    if device_dirs:
+        return np.asarray(fin)[:B, :3], dirs
+    return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]

@@ -1,0 +1,83 @@
+"""Column-blocked kernel == whole-row kernels (cell/byte equality)."""
+
+import numpy as np
+
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+    _default_interpret,
+    _pallas_rowdirs,
+    pallas_rowscan_score_batch,
+    rowscan_prep,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_rowcb import (
+    pallas_rowcb_dirs_batch,
+    pallas_rowcb_score_batch,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
+
+
+def _rand(rng, B, bm, bn):
+    a = np.full((B, bm), PAD_A, np.uint8)
+    b = np.full((B, bn), PAD_B, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for k in range(B):
+        la[k] = int(rng.integers(1, bm + 1))
+        lb[k] = int(rng.integers(1, bn + 1))
+        a[k, : la[k]] = rng.integers(65, 69, la[k])
+        b[k, : lb[k]] = rng.integers(65, 69, lb[k])
+    return a, b, la, lb
+
+
+def test_rowcb_score_matches_rowscan():
+    rng = np.random.default_rng(3)
+    # widths straddling the 1024-lane column block boundary
+    for (B, bm, bn) in [(4, 60, 90), (3, 70, 1100), (2, 50, 2200)]:
+        a, b, la, lb = _rand(rng, B, bm, bn)
+        for st in (-1, -2, 3):
+            want = pallas_rowscan_score_batch(a, b, la, lb,
+                                              start_type=st)
+            got = pallas_rowcb_score_batch(a, b, la, lb, start_type=st)
+            assert np.array_equal(got, want), (B, bm, bn, st)
+
+
+def test_rowcb_dirs_matches_rowdirs():
+    rng = np.random.default_rng(5)
+    for (B, bm, bn) in [(4, 60, 90), (2, 40, 1500)]:
+        a, b, la, lb = _rand(rng, B, bm, bn)
+        for st, runs in ((-1, True), (1, False), (2, True)):
+            args, meta = rowscan_prep(a, b, la, lb, carries=17)
+            meta.pop("uniform_la", None)
+            stm = np.full((args[0].shape[0], 128), st, np.int32)
+            dw, fw = _pallas_rowdirs(
+                *args[:4], stm, with_runs=runs, g=1.0, h=2.0, match=1.0,
+                mismatch=0.0, interpret=_default_interpret(None), **meta)
+            fc, dc = pallas_rowcb_dirs_batch(
+                a, b, la, lb, start_type=st, with_runs=runs,
+                device_dirs=True)
+            dw, dc = np.asarray(dw), np.asarray(dc)
+            B_ = B
+            assert np.array_equal(np.asarray(fw)[:B_, :3], fc)
+            # compare real pairs only (padding batch rows differ by
+            # block_b rounding)
+            assert np.array_equal(dw[:, :B_, :], dc[:, :B_, :]), (bm, bn,
+                                                                  st, runs)
+
+
+def test_rowcb_fused_align_matches():
+    """BatchAligner fused path (now rowcb) == wavefront on ragged
+    pairs wider than one column block."""
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        BatchAligner,
+    )
+
+    rng = np.random.default_rng(7)
+    pairs = [("".join(rng.choice(list("ACGT"), int(rng.integers(30, 80)))),
+              "".join(rng.choice(list("ACGT"), int(rng.integers(1000,
+                                                                1400)))))
+             for _ in range(4)]
+    got = BatchAligner(backend="pallas").align_batch(pairs)
+    want = BatchAligner(backend="wavefront").align_batch(pairs)
+    for g_, w_ in zip(got, want):
+        assert g_.score == w_.score
+        assert g_.chain == w_.chain
+        assert g_.aligned_a == w_.aligned_a
