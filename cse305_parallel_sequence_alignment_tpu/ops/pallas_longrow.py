@@ -60,8 +60,12 @@ from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
 
 
 def _roll_last(x):
-    """(block_b, 1) copy of x's last lane (roll brings it to lane 0)."""
-    return pltpu.roll(x, shift=1, axis=1)[:, 0:1]
+    """(block_b, 1) copy of x's last lane (roll brings it to lane 0).
+
+    Rolls only the final 128-lane tile — a full-width roll is a whole
+    VPU pass and three run per row (ops/pallas_rowcb.py measured the
+    same narrowing worth ~3x on its boundary-heavy variant)."""
+    return pltpu.roll(x[:, x.shape[1] - 128:], shift=1, axis=1)[:, 0:1]
 
 
 def _bnd_col(bnd_row, k):
@@ -275,7 +279,7 @@ def _st_array(start_type, Bp):
 
 def pallas_long_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                             match=1.0, mismatch=0.0, start_type=-1,
-                            chunk_cols=8192, rc=256, block_b=8,
+                            chunk_cols=1024, rc=256, block_b=8,
                             interpret=None):
     """Batched score fill for arbitrary lengths via column chunking.
 
@@ -344,16 +348,13 @@ def _row0_closed(n, g, h, start_type):
 
 
 def _quant_rows(m, rc):
-    """Padded row count: the next power of two (floor 4096 on real
-    rows past 2048, else the rc grid) so every bisection level, every
-    dataset, and every p maps onto ONE of ~6 compiled programs. Fresh
-    compiles through the evaluation tunnel cost minutes (loopback
-    compile server on a 2-core VM) while padding rows burn ~2.5 ms per
-    4096 at the measured chunk rate — padding is three orders of
-    magnitude cheaper."""
+    """Padded row count, quantized to 4096-row buckets (power of two
+    below that): at the production chunk width (1024 lanes, under the
+    measured Mosaic compile cliff) each distinct program compiles in
+    ~2.5 s, so fine-grained row buckets beat padding waste."""
     if m <= 2048:
-        return -(- (1 << (max(m, 1) - 1).bit_length()) // rc) * rc
-    rows = max(4096, 1 << (m - 1).bit_length())
+        return -(-(1 << (max(m, 1) - 1).bit_length()) // rc) * rc
+    rows = -(-m // 4096) * 4096
     return -(-rows // rc) * rc
 
 
@@ -362,11 +363,18 @@ def _longrow_lastrow_fins(jobs, g, h, match, mismatch, chunk_cols, rc,
     """Run the chunked fill for a batch of (a_enc, b_enc, start_type)
     jobs capturing each job's last DP row; returns (device fins list
     [(Bp, 3*nl_c) per chunk], nl_c, Bp). Rows stay ON DEVICE."""
-    block_b = 8
     J = len(jobs)
-    Bp = -(-max(J, 1) // block_b) * block_b
     m_max = max((len(a) for a, _, _ in jobs), default=0)
     n_max = max((len(b) for _, b, _ in jobs), default=0)
+    # wider batch blocks when the level has many crossings: the VPU is
+    # issue-limited, so (32, 1024) ops run ~4x the rate of (8, 1024);
+    # VMEM caps block_b via the full-length A rows held per pair
+    block_b = 8
+    ma_est = _quant_rows(max(m_max, 1), rc) + 128
+    while block_b < 64 and block_b * 2 <= J and \
+            2 * block_b * 4 * (ma_est + 6 * 1024) < (8 << 20):
+        block_b *= 2
+    Bp = -(-max(J, 1) // block_b) * block_b
     # power-of-two chunk width (<= chunk_cols): one compiled program
     # per (rows_pad, nl_c) bucket, shared across levels and datasets
     nl_c = -(-min(chunk_cols,
@@ -407,7 +415,7 @@ def _longrow_lastrow_fins(jobs, g, h, match, mismatch, chunk_cols, rc,
 
 
 def pallas_long_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
-                        mismatch=0.0, start_type=-1, chunk_cols=8192,
+                        mismatch=0.0, start_type=-1, chunk_cols=1024,
                         rc=256, interpret=None):
     """Last DP row (3, n+1) of one pair at kernel rate, any length.
 
@@ -439,23 +447,18 @@ def pallas_long_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
     return row
 
 
-@functools.partial(jax.jit, static_argnames=("nl_c", "C", "h"))
-def _combine_crossings(fins, n_vec, *, nl_c, C, h):
-    """On-device crossing combine: fwd/rev last rows -> (j, t, score).
+@functools.partial(jax.jit, static_argnames=("C", "h"))
+def _combine_rows(rows, n_vec, *, C, h):
+    """On-device crossing combine over assembled last rows.
 
-    ``fins``: (n_chunks, Bp, 3*nl_c) stacked chunk captures with job
-    2c = forward fill of crossing c, job 2c+1 = reverse fill.
-    The optimal path crosses row i_mid of crossing c at
-    argmax_j,t of T1+TR1, T2+TR2+h, T3+TR3+h (gap-open refund when a
-    gap is split, partial.cpp:101-105); tie-break = smallest j, then
-    table order T1,T2,T3 (matches crossing_on_row's lexsort). Only 3
-    scalars per crossing leave the device.
+    ``rows``: (2C, 3, W) with row 2c = forward fill of crossing c,
+    row 2c+1 = reverse fill. The optimal path crosses row i_mid of
+    crossing c at argmax_j,t of T1+TR1, T2+TR2+h, T3+TR3+h (gap-open
+    refund when a gap is split, partial.cpp:101-105); tie-break =
+    smallest j, then table order T1,T2,T3 (matches crossing_on_row's
+    lexsort). Only 3 scalars per crossing leave the device.
     """
-    NC, Bp, _ = fins.shape
-    # (NC, Bp, 3, nl_c) -> (Bp, 3, NC*nl_c) full rows per job
-    rows = fins.reshape(NC, Bp, 3, nl_c).transpose(1, 2, 0, 3) \
-        .reshape(Bp, 3, NC * nl_c)
-    Ntot = NC * nl_c
+    Ntot = rows.shape[2]
     F = rows[0: 2 * C: 2]   # (C, 3, Ntot) forward rows
     R = rows[1: 2 * C: 2]   # (C, 3, Ntot) reverse rows
     jv = jnp.arange(Ntot, dtype=jnp.int32)[None, :]     # (1, Ntot)
@@ -474,8 +477,19 @@ def _combine_crossings(fins, n_vec, *, nl_c, C, h):
     return kmin // 4, kmin % 4 + 1, best
 
 
+@functools.partial(jax.jit, static_argnames=("nl_c", "C", "h"))
+def _combine_crossings(fins, n_vec, *, nl_c, C, h):
+    """_combine_rows over the batched longrow chunk captures
+    ((n_chunks, Bp, 3*nl_c) stacked fins)."""
+    NC, Bp, _ = fins.shape
+    rows = fins.reshape(NC, Bp, 3, nl_c).transpose(1, 2, 0, 3) \
+        .reshape(Bp, 3, NC * nl_c)
+    return _combine_rows(rows, n_vec, C=C, h=h)
+
+
 def batched_crossings(tasks, g=1.0, h=2.0, match=1.0, mismatch=0.0,
-                      chunk_cols=8192, rc=256, interpret=None):
+                      chunk_cols=1024, rc=256, interpret=None,
+                      stair_threshold=4096):
     """Crossing points for a whole bisection level in ONE batched fill.
 
     ``tasks``: list of (a_enc, b_enc, i_mid, start_type, end_type).
@@ -494,6 +508,28 @@ def batched_crossings(tasks, g=1.0, h=2.0, match=1.0, mismatch=0.0,
             np.asarray(a_e, np.uint8)[i_mid:][::-1]),
             np.ascontiguousarray(np.asarray(b_e, np.uint8)[::-1]), en))
     interpret = _default_interpret(interpret)
+    m_max = max((len(a) for a, _, _ in jobs), default=0)
+    if len(jobs) <= 4 and m_max >= stair_threshold:
+        # under-filled batch at the bisection's top levels: the
+        # sublane-staircase kernel fills each job at FULL utilization
+        # (8 column chunks on sublanes) instead of wasting 6/8 sublanes
+        from cse305_parallel_sequence_alignment_tpu.ops. \
+            pallas_longstair import stair_lastrow_device
+        rows = [stair_lastrow_device(
+            a_e, b_e, g=g, h=h, match=match, mismatch=mismatch,
+            start_type=st_j, interpret=interpret)
+            for (a_e, b_e, st_j) in jobs]
+        W = max(r.shape[1] for r in rows)
+        rows = [jnp.pad(r, ((0, 0), (0, W - r.shape[1])),
+                        constant_values=NEG_INF) for r in rows]
+        C = len(tasks)
+        n_vec = np.asarray([len(b) for _, b, _, _, _ in tasks],
+                           np.int32)
+        jb, tb, best = _combine_rows(
+            jnp.stack(rows), jnp.asarray(n_vec), C=C, h=float(h))
+        jb, tb, best = np.asarray(jb), np.asarray(tb), np.asarray(best)
+        return [(int(jb[c]), int(tb[c]), float(best[c]))
+                for c in range(C)]
     fins, nl_c, Bp = _longrow_lastrow_fins(
         jobs, g, h, match, mismatch, chunk_cols, rc, interpret)
     C = len(tasks)

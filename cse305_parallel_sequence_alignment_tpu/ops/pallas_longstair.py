@@ -1,0 +1,374 @@
+"""Sublane-staircase long fill: ONE pair at full VPU utilization.
+
+The batched longrow kernel (ops/pallas_longrow.py) puts pairs on
+sublanes; a single-pair fill (the bisection's top levels — the
+partition layer's dominant cost) then uses 1 of 8 sublanes and the
+issue-limited VPU wastes 7/8 of every instruction. Here the EIGHT
+SUBLANES HOLD EIGHT ADJACENT COLUMN CHUNKS of the same pair, processed
+as a skewed pipeline (the staircase schedule of SURVEY.md par.7.3, at
+sublane granularity instead of across devices):
+
+    step t: sublane s computes row r = t - s + 1 of column chunk s
+
+Chunk s's boundary values flow to chunk s+1 one step later via a
+sublane roll of an in-register record array — the same
+[max3, max(T1,T3), prefix-max] records the longrow kernel exchanges
+through HBM between chunks, but staying in registers for the 8-chunk
+super-window. A super-chunk covers 8 * nl_c columns (8192 at the
+1024-lane compile-cliff width); super-chunks chain through an HBM
+record array exactly like longrow chunks, with a 7-slot device-side
+shift between calls aligning the writer's emission skew to the
+reader's consumption skew.
+
+Two delays matter (and are the only subtlety): same-row quantities
+(m13_last, pm_last — the T2 linearization seed, reference P2) arrive
+with delay 1; the previous-row quantity (mp3_last feeding T1's
+diagonal) with delay 2, served from a one-step register of the
+incoming records.
+
+Cell values are bit-identical to pallas_long_lastrow (tests assert
+so): same recurrences, same f32 order of operations per cell.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cse305_parallel_sequence_alignment_tpu.core import NEG_INF
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+    _default_interpret,
+    _neg,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+    _row0_closed,
+)
+from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
+
+S = 8  # sublane chunks per super-window
+
+
+def _lane_pm(x, w):
+    s = 1
+    while s < w:
+        shifted = jnp.concatenate(
+            [_neg(x.shape[:-1] + (s,)), x[..., :-s]], axis=-1)
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+def _pf(win, col):
+    return jnp.concatenate([col, win[:, :-1]], axis=-1)
+
+
+def _last(x):
+    return pltpu.roll(x[:, x.shape[1] - 128:], shift=1, axis=1)[:, 0:1]
+
+
+def _lane_at(row128, k):
+    """(S, 1) value of lane k from an (S, 128) array."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, row128.shape, 1)
+    return jnp.max(jnp.where(lane == k, row128, jnp.float32(NEG_INF)),
+                   axis=-1, keepdims=True)
+
+
+def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
+                  fin_ref, state, fin_acc, char_reg, rec_reg, rec_prev,
+                  *, m, n_cols, nl_c, rc, g, h, match, mismatch,
+                  start_type, first_chunk, num_sb):
+    """One super-chunk (8 * nl_c columns), all m rows, skewed.
+
+    a_ref: (8, ma) int32 — row characters, replicated per sublane.
+    b_ref: (8, nl_c) int32 — sublane s holds its chunk's characters
+      (global columns cs + s*nl_c + lane).
+    bnd_in/out: (rows_pad, 128) f32 — records [mp3, m13, pm] at lanes
+      0-2; bnd_in is the previous super-chunk's emission SHIFTED by 7
+      slots by the wrapper so in-block row indexing lines up.
+    fin_ref: (3, 8, nl_c) — captured row ``m`` per sublane chunk.
+    """
+    blk = pl.program_id(0)
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    cs = cs_ref[0, 0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, nl_c), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, nl_c), 1)
+    jj_g = cs + sub * nl_c + lane  # global column index per cell
+    jg = gf * jj_g.astype(jnp.float32)
+    lane0 = jj_g == 0  # only sublane 0 of the first chunk
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
+
+    def row0_vals():
+        if start_type == -2:
+            t2 = -jg
+        elif start_type in (1, 3):
+            t2 = jnp.full((S, nl_c), neg_inf)
+        else:
+            t2 = -hf - jg
+        neg = jnp.full((S, nl_c), neg_inf)
+        r1, r2, r3 = neg, t2, neg
+        if first_chunk:
+            corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+            corner2 = 0.0 if start_type == -2 else NEG_INF
+            corner3 = 0.0 if start_type == -3 else NEG_INF
+            r1 = jnp.where(lane0, jnp.float32(corner1), r1)
+            r2 = jnp.where(lane0, jnp.float32(corner2), r2)
+            r3 = jnp.where(lane0, jnp.float32(corner3), r3)
+        return r1, r2, r3
+
+    def row0_rec():
+        """Record of row 0 at each chunk's LAST column (the closed
+        form; feeds sublane s+1's row-1 diagonal)."""
+        jl = (cs + (sub1 + 1) * nl_c - 1).astype(jnp.float32)
+        if start_type == -2:
+            v = -gf * jl
+        elif start_type in (1, 3):
+            v = jnp.full((S, 128), neg_inf)
+        else:
+            v = -hf - gf * jl
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        # mp3 = m13 = that row-0 T2 value is WRONG for m13 (T1/T3 are
+        # -inf on row 0, so max3 == T2 value, max(T1,T3) == -inf)
+        out = jnp.where(lane_ == 0, v, neg_inf)
+        out = jnp.where(lane_ == 1, neg_inf, out)
+        out = jnp.where(lane_ == 2, neg_inf, out)
+        return out
+
+    @pl.when(blk == 0)
+    def _():
+        r1, r2, r3 = row0_vals()
+        state[0], state[1], state[2] = r1, r2, r3
+        fin_acc[...] = jnp.full((3, S, nl_c), neg_inf)
+        char_reg[...] = jnp.full((S, 128), int(PAD_A), jnp.int32)
+        # rec_reg holds each sublane's OWN last emission (row 0 closed
+        # form before the ramp); rolling in step() moves it one sublane
+        # down, so rec_prev — consumed WITHOUT a roll — is initialised
+        # PRE-ROLLED, with sublane 0 carrying the row-0 closed form at
+        # global column cs-1 (the longrow kernel's mp0 carry)
+        rec_reg[...] = row0_rec()
+        rolled = pltpu.roll(row0_rec(), shift=1, axis=0)
+        csf = (cs - 1).astype(jnp.float32)
+        if start_type == -2:
+            mp0 = -gf * csf
+        elif start_type in (1, 3):
+            mp0 = neg_inf
+        else:
+            mp0 = -hf - gf * csf
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        rec_prev[...] = jnp.where((sub1 == 0) & (lane_ == 0), mp0,
+                                  rolled)
+
+    def step(u, _):
+        t = blk * rc + u  # global step; sublane s works row t - s + 1
+        rows = t - sub1[:, 0:1] + 1  # (S, 1) current row per sublane
+        rows2 = t - sub[:, 0:1] + 1
+        live = (rows2 >= 1) & (rows2 <= m)
+
+        # incoming records: sublane s takes sublane s-1's previous
+        # emission; sublane 0 takes this row's HBM record (or the
+        # closed form in the first chunk)
+        shifted = pltpu.roll(rec_reg[...], shift=1, axis=0)
+        if first_chunk:
+            hbm_row = jnp.full((1, 128), neg_inf)
+        else:
+            hbm_row = bnd_in_ref[pl.ds(u, 1), :]
+        rec_in = jnp.where(sub1 == 0,
+                           jnp.broadcast_to(hbm_row, (S, 128)), shifted)
+
+        # characters: sublane s needs a[row-1] = a[t - s]; shift the
+        # register down a sublane and inject a[t] at sublane 0
+        idx = t  # 0-based char index for sublane 0's row t+1
+        base = (idx // 128) * 128
+        chunk = a_ref[:, pl.ds(pl.multiple_of(base, 128), 128)]
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        newch = jnp.max(jnp.where(lane_ == idx - base, chunk, -1),
+                        axis=-1, keepdims=True)
+        ch_shift = pltpu.roll(char_reg[...], shift=1, axis=0)
+        chars = jnp.where(sub1 == 0,
+                          jnp.broadcast_to(newch, (S, 128)), ch_shift)
+        char_reg[...] = chars
+        a_col = chars[:, 0:1]
+
+        p1, p2, p3 = state[0], state[1], state[2]
+        fb = jnp.where(b_ref[...] == a_col, jnp.float32(match),
+                       jnp.float32(mismatch))
+        mp12 = jnp.maximum(p1, p2)
+        mp3 = jnp.maximum(mp12, p3)
+        # T1 diagonal: prev row at j-1; the cross-chunk seed is the
+        # PREVIOUS row's record => delay-2 register
+        mp_in = _lane_at(rec_prev[...], 0)
+        if first_chunk:
+            mp_in = jnp.where(sub1[:, 0:1] == 0, neg_inf, mp_in)
+        t1 = fb + _pf(mp3, mp_in)
+        t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
+        if first_chunk:
+            rf = rows2.astype(jnp.float32)
+            if start_type == -3:
+                col0_3 = -gf * rf
+            elif start_type in (1, 2):
+                col0_3 = jnp.full((S, 1), neg_inf)
+            else:
+                col0_3 = -hf - gf * rf
+            t1 = jnp.where(lane0, neg_inf, t1)
+            t3 = jnp.where(lane0, jnp.broadcast_to(col0_3, t3.shape),
+                           t3)
+        m13 = jnp.maximum(t1, t3)
+        m13_in = _lane_at(rec_in, 1)
+        pm_in = _lane_at(rec_in, 2)
+        if first_chunk:
+            m13_in = jnp.where(sub1[:, 0:1] == 0, neg_inf, m13_in)
+            pm_in = jnp.where(sub1[:, 0:1] == 0, neg_inf, pm_in)
+        omega = jg + _pf(m13, m13_in) - gf - hf
+        if first_chunk:
+            omega = jnp.where(lane0, neg_inf, omega)
+        pm = jnp.maximum(_lane_pm(omega, nl_c), pm_in)
+        t2 = pm - jg
+        if first_chunk:
+            t2 = jnp.where(lane0, neg_inf, t2)
+
+        # freeze rows outside [1, m]: keep prior state (the row-0
+        # boundary before the ramp reaches a sublane; the final row
+        # after it passes)
+        t1 = jnp.where(live, t1, p1)
+        t2 = jnp.where(live, t2, p2)
+        t3 = jnp.where(live, t3, p3)
+        state[0], state[1], state[2] = t1, t2, t3
+
+        cap = jnp.broadcast_to((rows2 == m) & (m > 0), (S, nl_c))
+        fin_acc[0] = jnp.where(cap, t1, fin_acc[0])
+        fin_acc[1] = jnp.where(cap, t2, fin_acc[1])
+        fin_acc[2] = jnp.where(cap, t3, fin_acc[2])
+
+        # emit this row's record at the chunk's last lane
+        mp_t = jnp.maximum(jnp.maximum(t1, t2), t3)
+        lane_ = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        em = jnp.where(lane_ == 0, jnp.broadcast_to(_last(mp_t),
+                                                    (S, 128)), neg_inf)
+        em = jnp.where(lane_ == 1, jnp.broadcast_to(_last(m13),
+                                                    (S, 128)), em)
+        em = jnp.where(lane_ == 2, jnp.broadcast_to(_last(pm),
+                                                    (S, 128)), em)
+        live128 = (rows >= 1) & (rows <= m)
+        em = jnp.where(live128, em, rec_reg[...])
+        rec_prev[...] = rec_in
+        rec_reg[...] = em
+        # sublane 7's emission goes to HBM at this step's slot
+        bnd_out_ref[pl.ds(u, 1), :] = em[S - 1: S, :]
+        return 0
+
+    jax.lax.fori_loop(0, rc, step, 0)
+
+    @pl.when(blk == num_sb - 1)
+    def _():
+        fin_ref[...] = fin_acc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n_cols", "nl_c", "rc", "g", "h", "match",
+                     "mismatch", "start_type", "first_chunk",
+                     "interpret"))
+def _pallas_stair(a_rep, b_sub, cs, bnd_in, *, m, n_cols, nl_c, rc, g,
+                  h, match, mismatch, start_type, first_chunk,
+                  interpret):
+    steps_pad = -(-(m + S) // rc) * rc
+    num_sb = steps_pad // rc
+    kernel = functools.partial(
+        _stair_kernel, m=m, n_cols=n_cols, nl_c=nl_c, rc=rc,
+        g=float(g), h=float(h), match=float(match),
+        mismatch=float(mismatch), start_type=start_type,
+        first_chunk=first_chunk, num_sb=num_sb)
+    a_i32 = a_rep.astype(jnp.int32)
+    b_i32 = b_sub.astype(jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_sb,),
+        in_specs=[
+            pl.BlockSpec((S, a_i32.shape[1]), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, nl_c), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rc, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rc, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, S, nl_c), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, S, nl_c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, S, nl_c), jnp.float32),
+            pltpu.VMEM((3, S, nl_c), jnp.float32),
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.float32),
+            pltpu.VMEM((S, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_i32, b_i32, cs, bnd_in)
+
+
+def stair_lastrow_device(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
+                         mismatch=0.0, start_type=-1, nl_c=1024,
+                         rc=256, interpret=None):
+    """Last DP row of ONE pair as a device (3, n_pad) array, filled at
+    full sublane utilization. n_pad = super-chunks * 8 * nl_c."""
+    a_enc = np.asarray(a_enc, np.uint8).reshape(-1)
+    b_enc = np.asarray(b_enc, np.uint8).reshape(-1)
+    m, n = a_enc.shape[0], b_enc.shape[0]
+    interpret = _default_interpret(interpret)
+    width = S * nl_c
+    n_chunks = -(-(n + 1) // width)
+    steps_pad = -(-(m + S) // rc) * rc
+
+    ma = -(-(steps_pad + 1) // 128) * 128 + 128
+    a_rep = np.full((S, ma), int(PAD_A), np.uint8)
+    a_rep[:, :m] = a_enc[None, :]
+    b_all = np.full((n_chunks * width,), int(PAD_B), np.uint8)
+    b_all[1: n + 1] = b_enc
+    a_dev = jnp.asarray(a_rep)
+
+    outs = []
+    bnd = jnp.zeros((steps_pad, 128), jnp.float32)
+    for c in range(n_chunks):
+        s0 = c * width
+        b_sub = np.ascontiguousarray(
+            b_all[s0: s0 + width].reshape(S, nl_c))
+        cs = np.array([[s0]], np.int32)
+        # align the writer's emission skew (sublane 7 emits row t-7 at
+        # step t) to the reader's consumption (sublane 0 needs row u+1
+        # at step u... its delay-2 register takes slot u): shift 7
+        bnd_in = jnp.concatenate(
+            [bnd[S - 1:], jnp.full((S - 1, 128),
+                                   jnp.float32(NEG_INF))])
+        bnd, fin = _pallas_stair(
+            a_dev, jnp.asarray(b_sub), cs, bnd_in, m=m, n_cols=n,
+            nl_c=nl_c, rc=rc, g=g, h=h, match=match, mismatch=mismatch,
+            start_type=start_type, first_chunk=(c == 0),
+            interpret=interpret)
+        outs.append(fin.reshape(3, width))
+    return jnp.concatenate(outs, axis=1)  # (3, n_chunks*width)
+
+
+def stair_lastrow(a_enc, b_enc, g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                  start_type=-1, nl_c=1024, rc=256, interpret=None):
+    """Host (3, n+1) last row — pallas_long_lastrow's contract."""
+    a_enc = np.asarray(a_enc, np.uint8).reshape(-1)
+    b_enc = np.asarray(b_enc, np.uint8).reshape(-1)
+    m, n = a_enc.shape[0], b_enc.shape[0]
+    if m == 0:
+        return _row0_closed(n, g, h, start_type)
+    rows = stair_lastrow_device(
+        a_enc, b_enc, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type, nl_c=nl_c, rc=rc, interpret=interpret)
+    return np.asarray(rows)[:, : n + 1]

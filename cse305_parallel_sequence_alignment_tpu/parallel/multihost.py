@@ -22,7 +22,8 @@ import jax
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
-                     process_id=None, local_device_ids=None):
+                     process_id=None, local_device_ids=None,
+                     initialization_timeout=None):
     """Initialize multi-host JAX, or no-op when single-process.
 
     Args come from the environment when not given (JAX's standard
@@ -41,11 +42,14 @@ def init_distributed(coordinator_address=None, num_processes=None,
     if coordinator_address is None and num_processes in (None, 1):
         return False  # single-process: nothing to do
     try:
+        kw = {}
+        if initialization_timeout is not None:
+            kw["initialization_timeout"] = initialization_timeout
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
-            local_device_ids=local_device_ids)
+            local_device_ids=local_device_ids, **kw)
     except Exception as e:  # noqa: BLE001 - re-raise with context
         raise RuntimeError(
             f"jax.distributed.initialize failed (coordinator="

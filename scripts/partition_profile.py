@@ -24,7 +24,15 @@ from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
 
 
 def main():
-    p_arg = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    reps = 2 if "--twice" in sys.argv else 1
+    for rep in range(reps):
+        print(f"==== pass {rep} ====")
+        run_once()
+
+
+def run_once():
+    p_arg = int(sys.argv[1]) if len(sys.argv) > 1 and \
+        sys.argv[1].isdigit() else 0
     names, seqs = read_and_store_sequences(
         "/root/reference/gene_sequences_test")
     order = sorted(range(len(seqs)), key=lambda k: -len(seqs[k]))

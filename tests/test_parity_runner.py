@@ -101,3 +101,17 @@ def _enc_pair(a, b):
     ea, eb = encode_seq(a), encode_seq(b)
     return (ea[None, :], eb[None, :],
             np.array([len(ea)], np.int32), np.array([len(eb)], np.int32))
+
+
+def test_live_parity_8kb():
+    """Byte parity at 8-9 kb (VERDICT r2 item 7): the -O2 reference at
+    p=1 allocates 3 double tables (~1.9 GB at this size); measured
+    ~17 s end to end, cheap enough for every CI run."""
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    pairs = [(seqs[5][:8192], seqs[13][:9000])]
+    ok, mismatches = run_parity(pairs, driver=driver, p=1)
+    assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
