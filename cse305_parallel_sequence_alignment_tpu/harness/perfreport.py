@@ -106,6 +106,13 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
 
     def emit(row):
         row["backend"] = backend
+        # rows time the full harness call: host packing + upload + sync
+        # through the evaluation tunnel each iteration. Absolute GCUPS
+        # therefore sit far below bench.py's device-resident pipelined
+        # headline; compare rows to EACH OTHER at equal geometry (the
+        # dirs-vs-score ratios VERDICT r2 item 5 asks for), not to the
+        # kernel roofline.
+        row.setdefault("method", "harness-call (upload+sync)")
         rows.append(row)
         print(json.dumps(row), file=out, flush=True)
 

@@ -531,11 +531,20 @@ class BatchAligner:
             rpad = min(rounds_cap, -(-int(used) // 256) * 256)
             ent = jax.device_get(entries_d[:rpad])
         B = len(chunk)
-        ops = expand_rle_ops(ent.T[:B], max_steps)
-        tt, ii, jj, lens = replay_ops(
-            ops[:, :max_steps], np.asarray(la, np.int64),
-            np.asarray(lb, np.int64), tables.astype(np.int64), mode=mode,
-            offsets=offsets, chunk=chunk)
+        ent_b = ent.T[:B]
+        from cse305_parallel_sequence_alignment_tpu.native import walker
+        out = walker.replay_rle(ent_b, np.asarray(la, np.int64),
+                                np.asarray(lb, np.int64),
+                                tables.astype(np.int32), mode,
+                                offsets=offsets, chunk=chunk)
+        if out is not None:  # thread-parallel C++ replay
+            tt, ii, jj, lens = out
+        else:
+            ops = expand_rle_ops(ent_b, max_steps)
+            tt, ii, jj, lens = replay_ops(
+                ops[:, :max_steps], np.asarray(la, np.int64),
+                np.asarray(lb, np.int64), tables.astype(np.int64),
+                mode=mode, offsets=offsets, chunk=chunk)
         # per-row copies so a kept chain doesn't pin the (B, cap) bases
         chains = [LazyChain(tt[r, : lens[r]].copy(),
                             ii[r, : lens[r]].copy(),

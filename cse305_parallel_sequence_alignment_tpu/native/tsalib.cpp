@@ -200,6 +200,96 @@ static void walk_one_pair(
     out_len[r] = len;
 }
 
+// Replay the run-length walk entries the fused device path emits
+// (ops/device_walk.py _walk_core_rle: entry byte = op | runlen << 2;
+// a round is runlen rec-1 steps then one rec-op step; op == 0 ends the
+// stream). Reproduces ops/device_walk.py replay_ops exactly: quirk-B2
+// zeros, global offsets, parity (B1: stop at the edge, drop the
+// deepest point) or full mode (forced edge runs to the corner).
+// Returns -1 in out_len[r] if pair r's stream ends before an edge
+// (corrupt entries) — the Python wrapper raises.
+static void replay_one(const uint8_t* ent, int64_t Rn, int64_t la,
+                       int64_t lb, int t0, int64_t id_a, int64_t id_b,
+                       int mode, int64_t cap, int32_t* out_t,
+                       int64_t* out_i, int64_t* out_j, int64_t* out_len,
+                       int64_t r) {
+    std::vector<int32_t> rt;
+    std::vector<int64_t> ri, rj;
+    rt.reserve(cap); ri.reserve(cap); rj.reserve(cap);
+    auto push = [&](int64_t i, int64_t j, int t) {
+        rt.push_back(t);
+        ri.push_back(t == 2 ? 0 : i + id_a);
+        rj.push_back(t == 3 ? 0 : j + id_b);
+    };
+    int64_t i = la, j = lb;
+    int t = t0;
+    int64_t e = 0;       // entry cursor
+    int64_t run = 0;     // remaining rec-1 steps of the current entry
+    int pend = 0;        // the entry's final op (valid when run >= 0)
+    bool have = false;
+    while (i > 0 && j > 0) {
+        push(i, j, t);
+        if (!have) {
+            if (e >= Rn) { out_len[r] = -1; return; }
+            uint8_t b = ent[e++];
+            pend = b & 3;
+            run = b >> 2;
+            if (pend == 0) { out_len[r] = -1; return; }
+            have = true;
+        }
+        int tn;
+        if (run > 0) { tn = 1; run--; }
+        else         { tn = pend; have = false; }
+        // move by the CURRENT table, continue in tn
+        if (t == 1)      { i--; j--; }
+        else if (t == 2) { j--; }
+        else             { i--; }
+        t = tn;
+    }
+    push(i, j, t);  // the edge-entry point (dropped below / kept by runs)
+    if (mode == 1) {
+        if (i == 0) {
+            while (j > 0) { push(0, j - 1, 2); j--; }
+        } else {
+            while (i > 0) { push(i - 1, 0, 3); i--; }
+        }
+    }
+    int64_t len = (int64_t)rt.size() - 1;
+    if (len < 0) len = 0;
+    for (int64_t k = 0; k < len; k++) {
+        int64_t src = len - 1 - k;
+        out_t[r * cap + k] = rt[src];
+        out_i[r * cap + k] = ri[src];
+        out_j[r * cap + k] = rj[src];
+    }
+    out_len[r] = len;
+}
+
+int tsa_replay_rle_batch(const uint8_t* entries, int64_t Rn,
+                         const int64_t* la, const int64_t* lb,
+                         const int32_t* t0s, const int64_t* id_a,
+                         const int64_t* id_b, int64_t B, int mode,
+                         int64_t cap, int32_t* out_t, int64_t* out_i,
+                         int64_t* out_j, int64_t* out_len) {
+    int64_t nthreads = std::min<int64_t>(
+        B, std::max(1u, std::thread::hardware_concurrency()));
+    auto worker = [&](int64_t w) {
+        for (int64_t r = w; r < B; r += nthreads) {
+            replay_one(entries + r * Rn, Rn, la[r], lb[r], t0s[r],
+                       id_a ? id_a[r] : 0, id_b ? id_b[r] : 0, mode,
+                       cap, out_t, out_i, out_j, out_len, r);
+        }
+    };
+    if (nthreads <= 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t w = 0; w < nthreads; w++) pool.emplace_back(worker, w);
+        for (auto& th : pool) th.join();
+    }
+    return 0;
+}
+
 int tsa_walk_batch(const uint8_t* dirs, int64_t stride_r, int64_t stride_d,
                    int64_t stride_j, const int64_t* ms, const int64_t* ns,
                    const int32_t* t0s, int64_t B, int layout, int mode,

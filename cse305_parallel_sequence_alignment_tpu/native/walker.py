@@ -49,6 +49,13 @@ def _load():
         lib.tsa_fasta_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.tsa_replay_rle_batch.restype = ctypes.c_int
+        lib.tsa_replay_rle_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.tsa_walk_batch.restype = ctypes.c_int
         lib.tsa_walk_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -120,6 +127,49 @@ def walk_batch(dirs, pair_axis, ms, ns, t0s, layout, mode):
         1 if layout == "skew" else 0, 1 if mode == "full" else 0,
         cap, out_t.ctypes.data, out_i.ctypes.data, out_j.ctypes.data,
         out_len.ctypes.data)
+    return out_t, out_i, out_j, out_len
+
+
+def replay_rle(entries, la, lb, t0s, mode, offsets=None, chunk=None):
+    """Thread-parallel replay of the fused path's RLE walk entries
+    ((B, Rn) uint8, entry = op | runlen << 2). Mirrors
+    ops/device_walk.py replay_ops exactly (B1/B2 quirks, offsets, full
+    mode's forced edge runs). Returns (tt, ii, jj, lens) or None when
+    the native library is unavailable; raises RuntimeError if a stream
+    ends before a DP edge (corrupt entries)."""
+    lib = _load()
+    if lib is None:
+        return None
+    entries = np.ascontiguousarray(entries, np.uint8)
+    B, Rn = entries.shape
+    la = np.ascontiguousarray(la, np.int64)
+    lb = np.ascontiguousarray(lb, np.int64)
+    t0s = np.ascontiguousarray(t0s, np.int32)
+    if offsets is not None and chunk is not None:
+        offs = np.asarray([offsets[chunk[r]] for r in range(B)],
+                          np.int64)
+        ida = np.ascontiguousarray(offs[:, 0])
+        idb = np.ascontiguousarray(offs[:, 1])
+        ida_p, idb_p = ida.ctypes.data, idb.ctypes.data
+    else:
+        ida_p = idb_p = None
+    cap = int(la.max(initial=0) + lb.max(initial=0) + 2)
+    if mode == "full":
+        cap *= 2
+    out_t = np.empty((B, cap), np.int32)
+    out_i = np.empty((B, cap), np.int64)
+    out_j = np.empty((B, cap), np.int64)
+    out_len = np.empty((B,), np.int64)
+    lib.tsa_replay_rle_batch(
+        entries.ctypes.data, Rn, la.ctypes.data, lb.ctypes.data,
+        t0s.ctypes.data, ida_p, idb_p, B,
+        1 if mode == "full" else 0, cap, out_t.ctypes.data,
+        out_i.ctypes.data, out_j.ctypes.data, out_len.ctypes.data)
+    if (out_len < 0).any():
+        bad = np.nonzero(out_len < 0)[0]
+        raise RuntimeError(
+            f"RLE walk stream ended before a DP edge for pairs "
+            f"{bad[:8].tolist()} (corrupt entries)")
     return out_t, out_i, out_j, out_len
 
 

@@ -28,6 +28,11 @@ def enable_persistent_cache():
     global _done
     if _done or os.environ.get("TPU_SEQALIGN_NO_CACHE"):
         return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # CPU runs (tests, dryruns) don't pay the tunnel compile cost,
+        # and reloading AOT CPU executables across toolchain updates
+        # warns about machine-feature mismatches (SIGILL risk)
+        return
     _done = True
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
     try:

@@ -78,3 +78,64 @@ def test_native_fasta_on_reference_data():
     assert len(names) == len(seqs) == 20
     assert len(set(seqs)) == 20  # no duplicates (pull_data.cpp:54-68)
     assert all(s and set(s) <= set("ACGTN") for s in seqs)
+
+
+def test_native_replay_rle_matches_numpy():
+    """tsa_replay_rle_batch == expand_rle_ops + replay_ops on random
+    walks, parity and full modes, with and without offsets."""
+    import numpy as np
+
+    from cse305_parallel_sequence_alignment_tpu.native import walker
+    from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
+        expand_rle_ops,
+        replay_ops,
+    )
+
+    if not walker.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(47)
+    B = 6
+    la = rng.integers(3, 60, B).astype(np.int64)
+    lb = rng.integers(3, 70, B).astype(np.int64)
+    t0 = rng.integers(1, 4, B).astype(np.int64)
+    # synthesize valid RLE entry streams by simulating random walks
+    entries = np.zeros((B, 80), np.uint8)
+    for r in range(B):
+        i, j, e = la[r], lb[r], 0
+        while i > 0 and j > 0 and e < 80:
+            k = int(rng.integers(0, min(i, j) + 1))
+            op = int(rng.integers(1, 4))
+            entries[r, e] = op | (k << 2)
+            e += 1
+            i -= k
+            j -= k
+            if i <= 0 or j <= 0:
+                break
+            if op == 1:
+                i, j = i - 1, j - 1
+            elif op == 2:
+                j -= 1
+            else:
+                i -= 1
+    offsets = [(int(rng.integers(0, 100)), int(rng.integers(0, 100)))
+               for _ in range(B)]
+    chunk = list(range(B))
+    max_steps = int(la.max() + lb.max()) + 1
+    for mode in ("parity", "full"):
+        for offs in (None, offsets):
+            ch = chunk if offs is not None else None
+            want = replay_ops(expand_rle_ops(entries, max_steps),
+                              la, lb, t0, mode=mode, offsets=offs,
+                              chunk=ch)
+            got = walker.replay_rle(entries, la, lb,
+                                    t0.astype(np.int32), mode,
+                                    offsets=offs, chunk=ch)
+            wt, wi, wj, wl = want
+            gt, gi, gj, gl = got
+            assert np.array_equal(wl, gl), (mode, offs is None)
+            for r in range(B):
+                L = int(wl[r])
+                assert np.array_equal(wt[r, :L], gt[r, :L]), (mode, r)
+                assert np.array_equal(wi[r, :L], gi[r, :L]), (mode, r)
+                assert np.array_equal(wj[r, :L], gj[r, :L]), (mode, r)
