@@ -189,6 +189,67 @@ def main():
         ok_bd &= np.array_equal(
             np.asarray(dirs_bd[: la[k] + 1, k, : 2 * wband + 1]), wd)
     check("pallas_banded_dirs vs xla", ok_bd, True)
+
+    # --- round-3 kernels on real hardware ---
+    from cse305_parallel_sequence_alignment_tpu.ops.overlap import (
+        overlap_score_batch,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_overlap import (
+        pallas_overlap_dirs_batch,
+    )
+    want_ov = np.asarray(overlap_score_batch(ja, jb, jla, jlb))
+    got_ov, _ = pallas_overlap_dirs_batch(a, b, la, lb)
+    check("pallas_overlap_dirs out", got_ov, want_ov[:, :4])
+
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_rowcb import (
+        pallas_rowcb_dirs_batch,
+        pallas_rowcb_score_batch,
+    )
+    got_cb = pallas_rowcb_score_batch(a, b, la, lb)
+    check("pallas_rowcb_score", got_cb, want)
+    fin_cb, dirs_cb = pallas_rowcb_dirs_batch(a, b, la, lb,
+                                              with_runs=False)
+    check("pallas_rowcb_dirs finals", fin_cb, want)
+    check("pallas_rowcb_dirs bytes vs rowdirs",
+          np.array_equal(np.asarray(dirs_cb)[:, :B, :],
+                         np.asarray(dirs_rd)[:dirs_cb.shape[0], :B, :]),
+          True)
+    fin_cb16, dirs_cb16 = pallas_rowcb_dirs_batch(a, b, la, lb,
+                                                  with_runs=True)
+    check("pallas_rowcb_dirs16 low byte",
+          np.array_equal(np.asarray(dirs_cb16)[:, :B, :] & 0xFF,
+                         np.asarray(dirs_cb)[:, :B, :].astype(np.uint16)),
+          True)
+
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        batched_crossings,
+        pallas_long_lastrow,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longstair \
+        import stair_lastrow
+    want_last = pallas_long_lastrow(a[0, : la[0]], b[0, : lb[0]],
+                                    chunk_cols=128, rc=32)
+    got_last = stair_lastrow(a[0, : la[0]], b[0, : lb[0]], nl_c=128,
+                             rc=32)
+    check("stair_lastrow vs longrow", got_last, want_last)
+
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+        crossing_on_row,
+    )
+    tasks = [(a[k, : la[k]], b[k, : lb[k]], int(la[k]) // 2, st, en)
+             for k, (st, en) in zip((1, 2, 3), ((-1, -1), (1, 2),
+                                                (3, -1)))]
+    got_bc = batched_crossings(tasks)
+    got_bc_stair = batched_crossings(tasks[:2], stair_threshold=0)
+    ok_bc = all(
+        (j, t, s) == crossing_on_row(sa, sb, im, ScoringParams(), st, en)
+        for (sa, sb, im, st, en), (j, t, s) in zip(tasks, got_bc))
+    ok_bc &= all(
+        (j, t, s) == crossing_on_row(sa, sb, im, ScoringParams(), st, en)
+        for (sa, sb, im, st, en), (j, t, s) in zip(tasks[:2],
+                                                   got_bc_stair))
+    check("batched_crossings (longrow + stair) vs serial", ok_bc, True)
     print(f"correctness wall: {time.time() - t0:.1f}s", flush=True)
 
     # reference-parity spot check through the full batch pipeline

@@ -117,3 +117,28 @@ def test_fuzz_default_params_byte_parity_paths():
         assert res.aligned_a == want.aligned_a, (a, b)
         assert res.aligned_b == want.aligned_b, (a, b)
         assert res.score == want.score
+
+
+def test_fuzz_fused_rle_path_vs_wavefront():
+    """Randomized end-to-end sweep of the fused path (dynamic-type
+    rowcb dirs16 fill + RLE device walk + native replay) against the
+    XLA wavefront + host walk: chains, scores, and rendered rows must
+    be identical under random scoring params and boundary types."""
+    rng = np.random.default_rng(77)
+    for _ in range(6):
+        a, b, params, st = _case(rng)
+        en = int(rng.choice([-1, -2, -3, 1, 2, 3]))
+        pairs = [(a, b)]
+        for _ in range(int(rng.integers(1, 4))):
+            m2 = int(rng.integers(1, 60))
+            n2 = int(rng.integers(1, 60))
+            pairs.append(("".join(rng.choice(list("ACGT"), m2)),
+                          "".join(rng.choice(list("ACGT"), n2))))
+        kw = dict(params=params, start_type=st, end_type=en)
+        got = BatchAligner(backend="pallas", **kw).align_batch(pairs)
+        want = BatchAligner(backend="wavefront", **kw).align_batch(pairs)
+        for g_, w_ in zip(got, want):
+            assert g_.score == w_.score, (st, en)
+            assert g_.chain == w_.chain, (st, en)
+            assert g_.aligned_a == w_.aligned_a
+            assert g_.aligned_b == w_.aligned_b

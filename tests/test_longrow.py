@@ -133,3 +133,32 @@ def test_balanced_partition_batched_equals_serial():
         crossings_fn=lambda tasks: batched_crossings(
             tasks, chunk_cols=128, rc=16))
     assert got == want
+
+
+def test_batched_crossings_wide_block_levels():
+    """Deep bisection levels (>= 8 crossings -> 16 jobs) take the
+    adaptive wide-block path (block_b > 8); results must still match
+    the serial search."""
+    from cse305_parallel_sequence_alignment_tpu.core import ScoringParams
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (
+        batched_crossings,
+    )
+    from cse305_parallel_sequence_alignment_tpu.parallel.partition import (
+        crossing_on_row,
+    )
+
+    rng = np.random.default_rng(61)
+    params = ScoringParams()
+    tasks = []
+    for q in range(9):
+        m = int(rng.integers(30, 90))
+        n = int(rng.integers(40, 200))
+        a = rng.integers(65, 69, m).astype(np.uint8)
+        b = rng.integers(65, 69, n).astype(np.uint8)
+        st = (-1, 1, 2, 3)[q % 4]
+        en = (-1, 3, 1, 2)[q % 4]
+        tasks.append((a, b, m // 2, st, en))
+    got = batched_crossings(tasks, chunk_cols=128, rc=16)
+    for (a, b, i_mid, st, en), (j, t, best) in zip(tasks, got):
+        jw, tw, bw = crossing_on_row(a, b, i_mid, params, st, en)
+        assert (j, t, best) == (jw, tw, bw), (st, en)
