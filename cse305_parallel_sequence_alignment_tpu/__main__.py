@@ -395,7 +395,7 @@ def main(argv=None):
 
     p = sub.add_parser("partition", help="balanced-partition alignment")
     _add_pair_args(p)
-    p.add_argument("--p", type=int, default=4,
+    p.add_argument("--p", type=int, default=0,
                    help="number of segments (0 = auto from memory budget)")
     p.add_argument("--fill-backend", default="auto",
                    choices=["auto", "rowscan", "longrow", "sharded"],
