@@ -78,10 +78,10 @@ def _lane_at(row128, k):
                    axis=-1, keepdims=True)
 
 
-def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
+def _stair_kernel(a_ref, b_ref, sc_ref, bnd_in_ref, bnd_out_ref,
                   fin_ref, state, fin_acc, char_reg, rec_reg, rec_prev,
-                  *, m, n_cols, nl_c, rc, g, h, match, mismatch,
-                  start_type, first_chunk, num_sb):
+                  *, nl_c, rc, g, h, match, mismatch,
+                  first_chunk, num_sb):
     """One super-chunk (8 * nl_c columns), all m rows, skewed.
 
     a_ref: (8, ma) int32 — row characters, replicated per sublane.
@@ -95,7 +95,16 @@ def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
     blk = pl.program_id(0)
     gf, hf = jnp.float32(g), jnp.float32(h)
     neg_inf = jnp.float32(NEG_INF)
-    cs = cs_ref[0, 0]
+    # SMEM scalars: column offset, row count, boundary type — DYNAMIC so
+    # one compiled program serves every (m, start_type) the bisection
+    # produces (each fresh program costs ~2.5 s through the tunnel and
+    # a level mixes fwd/rev row counts and anchor types)
+    cs = sc_ref[0, 0]
+    m = sc_ref[0, 1]
+    stt = sc_ref[0, 2]
+    st_is2 = stt == -2
+    st_is13 = (stt == 1) | (stt == 3)
+    st_is12 = (stt == 1) | (stt == 2)
     sub = jax.lax.broadcasted_iota(jnp.int32, (S, nl_c), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, nl_c), 1)
     jj_g = cs + sub * nl_c + lane  # global column index per cell
@@ -104,36 +113,29 @@ def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
     sub1 = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
 
     def row0_vals():
-        if start_type == -2:
-            t2 = -jg
-        elif start_type in (1, 3):
-            t2 = jnp.full((S, nl_c), neg_inf)
-        else:
-            t2 = -hf - jg
+        t2 = jnp.where(st_is2, -jg,
+                       jnp.where(st_is13, neg_inf, -hf - jg))
         neg = jnp.full((S, nl_c), neg_inf)
         r1, r2, r3 = neg, t2, neg
         if first_chunk:
-            corner1 = 0.0 if start_type in (1, -1) else NEG_INF
-            corner2 = 0.0 if start_type == -2 else NEG_INF
-            corner3 = 0.0 if start_type == -3 else NEG_INF
-            r1 = jnp.where(lane0, jnp.float32(corner1), r1)
-            r2 = jnp.where(lane0, jnp.float32(corner2), r2)
-            r3 = jnp.where(lane0, jnp.float32(corner3), r3)
+            corner1 = jnp.where((stt == 1) | (stt == -1),
+                                jnp.float32(0.0), neg_inf)
+            corner2 = jnp.where(stt == -2, jnp.float32(0.0), neg_inf)
+            corner3 = jnp.where(stt == -3, jnp.float32(0.0), neg_inf)
+            r1 = jnp.where(lane0, corner1, r1)
+            r2 = jnp.where(lane0, corner2, r2)
+            r3 = jnp.where(lane0, corner3, r3)
         return r1, r2, r3
 
     def row0_rec():
         """Record of row 0 at each chunk's LAST column (the closed
         form; feeds sublane s+1's row-1 diagonal)."""
         jl = (cs + (sub1 + 1) * nl_c - 1).astype(jnp.float32)
-        if start_type == -2:
-            v = -gf * jl
-        elif start_type in (1, 3):
-            v = jnp.full((S, 128), neg_inf)
-        else:
-            v = -hf - gf * jl
+        v = jnp.where(st_is2, -gf * jl,
+                      jnp.where(st_is13, neg_inf, -hf - gf * jl))
         lane_ = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-        # mp3 = m13 = that row-0 T2 value is WRONG for m13 (T1/T3 are
-        # -inf on row 0, so max3 == T2 value, max(T1,T3) == -inf)
+        # only lane 0 (mp3) carries a value: row 0's max3 == its T2
+        # closed form (T1/T3 are -inf); m13 and pm seeds are -inf
         out = jnp.where(lane_ == 0, v, neg_inf)
         out = jnp.where(lane_ == 1, neg_inf, out)
         out = jnp.where(lane_ == 2, neg_inf, out)
@@ -153,12 +155,8 @@ def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
         rec_reg[...] = row0_rec()
         rolled = pltpu.roll(row0_rec(), shift=1, axis=0)
         csf = (cs - 1).astype(jnp.float32)
-        if start_type == -2:
-            mp0 = -gf * csf
-        elif start_type in (1, 3):
-            mp0 = neg_inf
-        else:
-            mp0 = -hf - gf * csf
+        mp0 = jnp.where(st_is2, -gf * csf,
+                        jnp.where(st_is13, neg_inf, -hf - gf * csf))
         lane_ = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
         rec_prev[...] = jnp.where((sub1 == 0) & (lane_ == 0), mp0,
                                   rolled)
@@ -208,12 +206,9 @@ def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
         t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
         if first_chunk:
             rf = rows2.astype(jnp.float32)
-            if start_type == -3:
-                col0_3 = -gf * rf
-            elif start_type in (1, 2):
-                col0_3 = jnp.full((S, 1), neg_inf)
-            else:
-                col0_3 = -hf - gf * rf
+            col0_3 = jnp.where(stt == -3, -gf * rf,
+                               jnp.where(st_is12, neg_inf,
+                                         -hf - gf * rf))
             t1 = jnp.where(lane0, neg_inf, t1)
             t3 = jnp.where(lane0, jnp.broadcast_to(col0_3, t3.shape),
                            t3)
@@ -270,18 +265,15 @@ def _stair_kernel(a_ref, b_ref, cs_ref, bnd_in_ref, bnd_out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "n_cols", "nl_c", "rc", "g", "h", "match",
-                     "mismatch", "start_type", "first_chunk",
-                     "interpret"))
-def _pallas_stair(a_rep, b_sub, cs, bnd_in, *, m, n_cols, nl_c, rc, g,
-                  h, match, mismatch, start_type, first_chunk,
-                  interpret):
-    steps_pad = -(-(m + S) // rc) * rc
+    static_argnames=("steps_pad", "nl_c", "rc", "g", "h", "match",
+                     "mismatch", "first_chunk", "interpret"))
+def _pallas_stair(a_rep, b_sub, sc, bnd_in, *, steps_pad, nl_c, rc, g,
+                  h, match, mismatch, first_chunk, interpret):
     num_sb = steps_pad // rc
     kernel = functools.partial(
-        _stair_kernel, m=m, n_cols=n_cols, nl_c=nl_c, rc=rc,
+        _stair_kernel, nl_c=nl_c, rc=rc,
         g=float(g), h=float(h), match=float(match),
-        mismatch=float(mismatch), start_type=start_type,
+        mismatch=float(mismatch),
         first_chunk=first_chunk, num_sb=num_sb)
     a_i32 = a_rep.astype(jnp.int32)
     b_i32 = b_sub.astype(jnp.int32)
@@ -315,7 +307,7 @@ def _pallas_stair(a_rep, b_sub, cs, bnd_in, *, m, n_cols, nl_c, rc, g,
             pltpu.VMEM((S, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(a_i32, b_i32, cs, bnd_in)
+    )(a_i32, b_i32, sc, bnd_in)
 
 
 def stair_lastrow_device(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
@@ -329,7 +321,12 @@ def stair_lastrow_device(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
     interpret = _default_interpret(interpret)
     width = S * nl_c
     n_chunks = -(-(n + 1) // width)
-    steps_pad = -(-(m + S) // rc) * rc
+    # steps quantized to 2048 (the rc grid below that): one compiled
+    # program per coarse bucket; dead steps past m just freeze state
+    # (~2.4 us each, three orders cheaper than a fresh compile)
+    sq = max(rc, 2048 if m + S > 2048 else rc)
+    steps_pad = -(-(m + S) // sq) * sq
+    steps_pad = -(-steps_pad // rc) * rc
 
     ma = -(-(steps_pad + 1) // 128) * 128 + 128
     a_rep = np.full((S, ma), int(PAD_A), np.uint8)
@@ -344,7 +341,7 @@ def stair_lastrow_device(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
         s0 = c * width
         b_sub = np.ascontiguousarray(
             b_all[s0: s0 + width].reshape(S, nl_c))
-        cs = np.array([[s0]], np.int32)
+        sc = np.array([[s0, m, int(start_type)]], np.int32)
         # align the writer's emission skew (sublane 7 emits row t-7 at
         # step t) to the reader's consumption (sublane 0 needs row u+1
         # at step u... its delay-2 register takes slot u): shift 7
@@ -352,9 +349,10 @@ def stair_lastrow_device(a_enc, b_enc, g=1.0, h=2.0, match=1.0,
             [bnd[S - 1:], jnp.full((S - 1, 128),
                                    jnp.float32(NEG_INF))])
         bnd, fin = _pallas_stair(
-            a_dev, jnp.asarray(b_sub), cs, bnd_in, m=m, n_cols=n,
+            a_dev, jnp.asarray(b_sub), sc, bnd_in,
+            steps_pad=steps_pad,
             nl_c=nl_c, rc=rc, g=g, h=h, match=match, mismatch=mismatch,
-            start_type=start_type, first_chunk=(c == 0),
+            first_chunk=(c == 0),
             interpret=interpret)
         outs.append(fin.reshape(3, width))
     return jnp.concatenate(outs, axis=1)  # (3, n_chunks*width)
