@@ -48,12 +48,14 @@ def _timed_scores(aligner, pairs):
     return scores, dt
 
 
-def _write_launch_meta(csv_path, aligner, total_pairs, dt):
+def _write_launch_meta(csv_path, aligner, total_pairs, dt,
+                       launches=None):
     """Sidecar metadata next to each CSV: per-launch batch sizes (the
     CSV itself stays byte-compatible with the reference's schema, so
     attribution facts go in <name>.meta.json)."""
     import json
-    launches = getattr(aligner, "last_launches", None) or []
+    if launches is None:
+        launches = getattr(aligner, "last_launches", None) or []
     meta = {
         "total_pairs": total_pairs,
         "wall_s": dt,
@@ -108,6 +110,8 @@ def test_n_cores(names, sequences, cfg: RunConfig = RunConfig(),
         1, cfg.n_cores_pairs // max(len(n_cores_list), 1))
     rows = []
     j = 0
+    total_dt = 0.0
+    all_launches = []
     for cores in n_cores_list:
         ndev = min(cores, jax.device_count())
         aligner = ShardedBatchAligner(
@@ -120,27 +124,41 @@ def test_n_cores(names, sequences, cfg: RunConfig = RunConfig(),
             L = min(cfg.input_size, len(s1), len(s2))
             pairs.append((s1[:L], s2[:L]))
         _, dt = _timed_scores(aligner, pairs)
+        total_dt += dt
+        all_launches.extend(getattr(aligner, "last_launches", None) or [])
         per = dt / max(len(pairs), 1)
         for _ in range(total):
             rows.append((j, cores, per))
             j += 1
     path = os.path.join(cfg.out_dir, "n_cores_testing.csv")
     write_n_cores_csv(path, rows)
-    _write_launch_meta(path, aligner, total * len(n_cores_list), 0.0)
+    # launches accumulated across ALL per-setting aligners and the real
+    # summed wall time (a stale last-loop aligner + dt=0.0 made the
+    # sidecar meaningless before)
+    _write_launch_meta(path, None, total * len(n_cores_list), total_dt,
+                       launches=all_launches)
     return rows
 
 
 def test_similarity(names, sequences, cfg: RunConfig = RunConfig(),
                     aligner: BatchAligner | None = None):
     """Similarity experiment -> similarity_testing.csv
-    (testing.cpp:295-369). Returns row list."""
+    (testing.cpp:295-369). Returns row list.
+
+    Unlike the input-size experiment, the reference aligns similarity
+    pairs at the FULL min length (``input_size_min = minlen``,
+    testing.cpp:333-345) — the default here matches that. Set
+    ``cfg.similarity_input_size > 0`` to truncate instead (the
+    pre-round-4 behavior, which silently reused ``cfg.input_size``)."""
     rng = np.random.default_rng(cfg.seed)
     count = cfg.similarity_pairs
     idx1, idx2 = _pick_pairs(rng, sequences, count)
     pairs, sims = [], []
     for k in range(count):
         s1, s2 = sequences[idx1[k]], sequences[idx2[k]]
-        L = min(cfg.input_size, len(s1), len(s2))
+        L = min(len(s1), len(s2))
+        if cfg.similarity_input_size > 0:
+            L = min(cfg.similarity_input_size, L)
         pairs.append((s1[:L], s2[:L]))
         sims.append(sequence_similarity(s1, s2))
     aligner = aligner or BatchAligner(

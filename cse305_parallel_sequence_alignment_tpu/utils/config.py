@@ -29,6 +29,10 @@ class RunConfig:
     test_pairs: int = 256
     n_cores_pairs: int = 2000   # n-cores experiment (testing.cpp:213)
     similarity_pairs: int = 2000  # similarity experiment (testing.cpp:298)
+    # similarity experiment alignment length: 0 = full min length, the
+    # reference's behavior (input_size_min = minlen, testing.cpp:333-345);
+    # > 0 truncates like the input-size experiment does
+    similarity_input_size: int = 0
     seed: int = 0           # reference uses unseeded rand(); we seed
     bucket_quantum: int = 128
     max_batch: int = 512
@@ -49,6 +53,10 @@ def add_config_args(parser: argparse.ArgumentParser):
     parser.add_argument("--match", type=float, default=d.match)
     parser.add_argument("--mismatch", type=float, default=d.mismatch)
     parser.add_argument("--input-size", type=int, default=d.input_size)
+    parser.add_argument("--similarity-input-size", type=int,
+                        default=d.similarity_input_size,
+                        help="0 = align similarity pairs at full min "
+                             "length (reference behavior)")
     parser.add_argument("--test-pairs", type=int, default=d.test_pairs)
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--bucket-quantum", type=int,
