@@ -789,6 +789,164 @@ def _pallas_rowscan(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
     )(a_pad, b_ext, lbmask, la)
 
 
+def _rowscan2_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
+                     *, m, n, nl, g, h, match, mismatch, start_type,
+                     unroll=4, uniform_la=False):
+    """Two-carry reformulation of ``_rowscan_kernel`` (same cells).
+
+    The three-table recurrence only ever consumes the previous row
+    through max(T1,T2,T3) (for T1's diagonal and T3's open) and T3
+    itself (for T3's extend):
+
+        T3[i][j] = max(max(T1,T2)[i-1][j] - g - h, T3[i-1][j] - g)
+                 = max(H[i-1][j] - g - h,         T3[i-1][j] - g)
+
+    (value-exact: max(T1,T2)-g-h and T3-g-h are both <= H-g-h, and
+    T3-g >= T3-g-h, so folding T3 into H changes nothing; scores are
+    integral f32 so the re-association is bit-exact). So the row carry
+    is (H, T3) — two arrays instead of three — which drops the
+    pack3/unpack3 shuffling and one max per row, and the loop carries
+    only 2 large f32 arrays (under the Mosaic 3-carry SIGABRT limit
+    without lane-packing). Redundant lane-0 masks are also gone: the
+    -inf fill of the diagonal/omega lane shifts already produces the
+    exact T1/T2 column-0 boundary (-inf + finite = -inf).
+
+    Measured same-process vs ``_rowscan_kernel`` on the v5e: the pass
+    count per row drops from ~34 to ~27 (see harness/perfreport.py's
+    op model). Cell-identical by tests/test_rowscan.py.
+    """
+    block_b = bext_ref.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    b_ext = bext_ref[...]
+    lbmask = lbmask_ref[...] != 0
+    la_col = la_ref[:, 0:1]
+    gf, hf = jnp.float32(g), jnp.float32(h)
+    neg_inf = jnp.float32(NEG_INF)
+    lane0 = jj == 0
+    jg = gf * jj.astype(jnp.float32)
+    jgc = jg - gf - hf
+    fmatch, fmis = jnp.float32(match), jnp.float32(mismatch)
+
+    # row 0 boundary (core.boundary_row0 closed form)
+    corner1 = 0.0 if start_type in (1, -1) else NEG_INF
+    corner2 = 0.0 if start_type == -2 else NEG_INF
+    corner3 = 0.0 if start_type == -3 else NEG_INF
+    r1 = jnp.where(lane0, jnp.float32(corner1), neg_inf)
+    r2 = jnp.where(lane0, jnp.float32(corner2),
+                   _row0_t2(jj, gf, hf, start_type))
+    r3 = jnp.where(lane0, jnp.float32(corner3), neg_inf)
+    h0 = jnp.maximum(jnp.maximum(r1, r2), r3)
+
+    def row_core(i, hp, t3p):
+        """(H, T3) of row i-1 -> (t1, t2, t3, m13u) of row i."""
+        a_col = _char_col(a_ref, i - 1)
+        fb = jnp.where(b_ext == a_col, fmatch, fmis)
+        t1 = fb + _shift_right_neg(hp)
+        t3 = jnp.maximum(hp - gf - hf, t3p - gf)
+        t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
+        m13u = jnp.maximum(t1, t3)
+        omega = jgc + _shift_right_neg(m13u)
+        pm = _lane_prefix_max(omega, nl)
+        t2 = pm - jg
+        return t1, t2, t3, m13u
+
+    def row_step(i, hp, t3p):
+        t1, t2, t3, m13u = row_core(i, hp, t3p)
+        return jnp.maximum(m13u, t2), t3
+
+    if uniform_la:
+        # rows 1..m-1 carry only (H, T3); row m runs outside the loop so
+        # its full (T1, T2, T3) triple is available for the capture
+        def body(s, carry):
+            hp, t3p = carry
+            for u in range(unroll):
+                hp, t3p = row_step(s * unroll + u + 1, hp, t3p)
+            return (hp, t3p)
+
+        last = max(m - 1, 0)
+        hp, t3p = jax.lax.fori_loop(0, last // unroll, body, (h0, r3))
+        for u in range(last % unroll):
+            hp, t3p = row_step((last // unroll) * unroll + u + 1, hp,
+                               t3p)
+        if m >= 1:
+            t1, t2, t3, _ = row_core(m, hp, t3p)
+        else:
+            t1, t2, t3 = r1, r2, r3
+        finals = [jnp.max(jnp.where(lbmask, t, neg_inf),
+                          axis=-1, keepdims=True) for t in (t1, t2, t3)]
+        out_ref[...] = _emit_row(finals)
+        return
+
+    lbmask3 = jnp.concatenate([lbmask] * 3, axis=-1)
+    fin0 = jnp.where((la_col == 0) & lbmask3, _pack3((r1, r2, r3)),
+                     neg_inf)
+
+    def body(s, carry):
+        hp, t3p, fin = carry
+        for u in range(unroll):
+            i = s * unroll + u + 1
+            t1, t2, t3, m13u = row_core(i, hp, t3p)
+            fin = jnp.where((la_col == i) & lbmask3,
+                            _pack3((t1, t2, t3)), fin)
+            hp, t3p = jnp.maximum(m13u, t2), t3
+        return (hp, t3p, fin)
+
+    steps = -(-m // unroll)
+    _, _, fin = jax.lax.fori_loop(0, steps, body, (h0, r3, fin0))
+    finals = [jnp.max(t, axis=-1, keepdims=True)
+              for t in _unpack3(fin, nl)]
+    out_ref[...] = _emit_row(finals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
+                     "start_type", "block_b", "interpret", "uniform_la",
+                     "unroll"))
+def _pallas_rowscan2(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
+                     mismatch, start_type, block_b, interpret,
+                     uniform_la=False, unroll=4):
+    B = a_pad.shape[0]
+    grid = (B // block_b,)
+    kernel = functools.partial(
+        _rowscan2_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
+        match=float(match), mismatch=float(mismatch),
+        start_type=start_type, uniform_la=uniform_la, unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, a_pad.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        interpret=interpret,
+    )(a_pad, b_ext, lbmask, la)
+
+
+def pallas_rowscan2_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
+                                h=2.0, match=1.0, mismatch=0.0,
+                                start_type=-1, block_b=DEF_BLOCK_B,
+                                interpret=None):
+    """Batched score-only fill via the 2-carry rowscan. (B, 3) finals."""
+    B = np.asarray(a_enc).shape[0]
+    args, meta = rowscan_prep(a_enc, b_enc, len_a, len_b, block_b,
+                              carries=5)
+    out = _pallas_rowscan2(
+        *args, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type, interpret=_default_interpret(interpret),
+        **meta)
+    return np.asarray(out)[:B, :3]
+
+
 def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B,
                  carries=7):
     """Host-side packing for the rowscan kernels: returns

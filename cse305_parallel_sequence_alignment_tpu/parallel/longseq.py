@@ -217,6 +217,117 @@ def _longseq_batch_jit(a_pad, b_shard, len_a, len_b, m, n, nc, R, D, g, h,
     return mapped(a_pad, b_shard, len_a, len_b)
 
 
+def _halostair_local(a_pad, b_sub, len_a, len_b, *, S, nl_c, R, C, D,
+                     g, h, match, mismatch, start_type, interpret):
+    """Per-device body running the halo-staircase Pallas kernel
+    (ops/pallas_halostair.py) instead of a pure-XLA row scan — the
+    kernel-rate fill VERDICT r3 missing #1 asked for. Same pipeline
+    schedule as ``_longseq_local`` (device k fills row-chunk c at step
+    s = c + k), but each macro-step is ONE kernel invocation over the
+    device's whole column block and the ppermute halo carries the
+    kernel's (R, 128) boundary-record rows."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_halostair \
+        import halostair_init, halostair_step
+
+    k = jax.lax.axis_index("seq")
+    cs = k * (S * nl_c)
+    state, rec_reg, rec_prev, fin = halostair_init(
+        k, S, nl_c, g, h, start_type)
+    msg0 = jnp.full((R, 128), _NEG)
+
+    def step(carry, s):
+        state, rec_reg, rec_prev, fin, msg = carry
+        c = s - k
+        active = (c >= 0) & (c < C)
+        c_cl = jnp.clip(c, 0, C - 1)
+        base = c_cl * R
+        a_win = jax.lax.dynamic_slice(a_pad, (0, base), (1, R + 256))
+        m_eff = jnp.where(active, len_a, jnp.int32(0))
+        sc = jnp.stack(
+            [cs, m_eff, jnp.int32(start_type), base]).reshape(1, 4)
+        bnd_in = jnp.where(k == 0, _NEG, msg)
+        bnd_out, state, rec_reg, rec_prev, fin = halostair_step(
+            a_win, b_sub, sc, bnd_in, state, rec_reg, rec_prev, fin,
+            S=S, nl_c=nl_c, R=R, g=g, h=h, match=match,
+            mismatch=mismatch, interpret=interpret)
+        msg_next = jax.lax.ppermute(
+            bnd_out, "seq", [(d, (d + 1) % D) for d in range(D)])
+        return (state, rec_reg, rec_prev, fin, msg_next), None
+
+    (_, _, _, fin, _), _ = jax.lax.scan(
+        step, (state, rec_reg, rec_prev, fin, msg0),
+        jnp.arange(C + D - 1, dtype=jnp.int32))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, nl_c), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, nl_c), 1)
+    lbmask = (cs + sub * nl_c + lane) == len_b
+    finals = jnp.stack([
+        jnp.max(jnp.where(lbmask, fin[t], _NEG)) for t in range(3)])
+    return jax.lax.pmax(finals, "seq"), fin.reshape(3, S * nl_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "nl_c", "R", "C", "D", "g", "h", "match",
+                     "mismatch", "start_type", "interpret",
+                     "mesh_holder"))
+def _halostair_jit(a_pad, b_sub, len_a, len_b, S, nl_c, R, C, D, g, h,
+                   match, mismatch, start_type, interpret, mesh_holder):
+    mesh = mesh_holder.mesh
+    body = functools.partial(
+        _halostair_local, S=S, nl_c=nl_c, R=R, C=C, D=D, g=g, h=h,
+        match=match, mismatch=mismatch, start_type=start_type,
+        interpret=interpret)
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P("seq"), P(), P()),
+        out_specs=(P(), P(None, "seq")), check_vma=False)
+    return mapped(a_pad, b_sub, len_a, len_b)
+
+
+def _halostair_run(a_enc, b_enc, params, start_type, mesh, row_chunk):
+    """Sharded kernel fill of one pair; returns (finals, row, m, n)."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _default_interpret,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_halostair \
+        import pick_geometry
+
+    m, n = a_enc.shape[0], b_enc.shape[0]
+    mesh = mesh or make_seq_mesh()
+    D = mesh.devices.size
+    nc = -(-(n + 1) // D)
+    S, nl_c = pick_geometry(nc)
+    R = max(128, -(-row_chunk // 128) * 128)
+    C = -(-m // R)
+
+    W = 128 + C * R + 256
+    a_pad = np.full((1, W), int(PAD_A), np.int32)
+    a_pad[0, 128: 128 + m] = a_enc
+    b_sub = np.full((D * S, nl_c), int(PAD_B), np.int32)
+    b_flat = b_sub.reshape(-1)
+    b_flat[1: n + 1] = b_enc
+    b_sub = b_flat.reshape(D * S, nl_c)
+
+    a_dev = jax.device_put(jnp.asarray(a_pad), NamedSharding(mesh, P()))
+    b_dev = jax.device_put(jnp.asarray(b_sub),
+                           NamedSharding(mesh, P("seq")))
+    g, h, match, mismatch = params.astuple()
+    finals, row = _halostair_jit(
+        a_dev, b_dev, jnp.int32(m), jnp.int32(n), S, nl_c, R, C, D, g,
+        h, match, mismatch, start_type,
+        _default_interpret(None), _MeshHolder(mesh))
+    # row is sharded (3, D*S*nl_c) INCLUDING captured column 0; host
+    # slicing happens in longseq_lastrow after the fetch (slicing the
+    # sharded array directly trips ambiguous-sharding gathers)
+    return finals, _KernelRow(row), m, n
+
+
+class _KernelRow:
+    """Marks a last-row capture that already includes column 0."""
+
+    def __init__(self, row):
+        self.row = row
+
+
 class _MeshHolder:
     """Hashable wrapper so a Mesh can ride through static jit args."""
 
@@ -236,7 +347,8 @@ def _row0_stack(n, start_type, g, h):
     return np.stack(boundary_row0(n, start_type, g, h))
 
 
-def _longseq_run(a, b, params, start_type, mesh, row_chunk):
+def _longseq_run(a, b, params, start_type, mesh, row_chunk,
+                 backend="kernel"):
     from cse305_parallel_sequence_alignment_tpu.core import encode_seq
     a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else \
         np.asarray(a, np.uint8)
@@ -253,6 +365,12 @@ def _longseq_run(a, b, params, start_type, mesh, row_chunk):
         c1, c2, c3 = boundary_col0(m, start_type, g, h)
         finals = np.array([c1[m - 1], c2[m - 1], c3[m - 1]], np.float32)
         return finals, np.zeros((3, 0), np.float32), m, n
+    if backend == "kernel" and params.h >= 0:
+        # Pallas halo-staircase per-device body (kernel rate); the
+        # 2-carry formulation folds T3's open through H, exact for
+        # h >= 0 only
+        return _halostair_run(a_enc, b_enc, params, start_type, mesh,
+                              row_chunk)
     mesh = mesh or make_seq_mesh()
     D = mesh.devices.size
     nc = -(-n // D)
@@ -303,14 +421,16 @@ def longseq_pipeline_stats(m, n, devices, row_chunk=64):
 
 
 def longseq_score(a, b, params=ScoringParams(), start_type=-1,
-                  mesh=None, row_chunk=64):
+                  mesh=None, row_chunk=64, backend="kernel"):
     """Sharded score-only fill of one (possibly huge) pair.
 
     Returns (3,) final-cell (T1, T2, T3) at (m, n), identical to
     rowscan_score. Columns are sharded over the ``seq`` axis of ``mesh``
-    (default: all devices)."""
+    (default: all devices). ``backend``: "kernel" = the Pallas
+    halo-staircase per-device body (default; falls back automatically
+    for h < 0), "xla" = the round-3 pure-XLA row scan."""
     finals, _, _, _ = _longseq_run(a, b, params, start_type, mesh,
-                                   row_chunk)
+                                   row_chunk, backend=backend)
     return np.asarray(finals)
 
 
@@ -368,7 +488,7 @@ def longseq_score_batch(pairs, params=ScoringParams(), start_type=-1,
 
 
 def longseq_lastrow(a, b, params=ScoringParams(), start_type=-1,
-                    mesh=None, row_chunk=64):
+                    mesh=None, row_chunk=64, backend="kernel"):
     """Sharded fill returning the full last row: (3, n+1) values of
     T1/T2/T3 at row m, columns 0..n — identical to rowscan_lastrow's
     final row but O(n/D) memory per device. This is the partition
@@ -380,7 +500,9 @@ def longseq_lastrow(a, b, params=ScoringParams(), start_type=-1,
     )
     g, h, _, _ = params.astuple()
     finals, lastrow, m, n = _longseq_run(a, b, params, start_type, mesh,
-                                         row_chunk)
+                                         row_chunk, backend=backend)
+    if isinstance(lastrow, _KernelRow):
+        return np.asarray(lastrow.row)[:, : n + 1]
     lastrow = np.asarray(lastrow)[:, :n]  # drop padded columns
     # column 0 of row m comes from the closed-form boundary
     if m == 0:

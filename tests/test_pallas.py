@@ -270,3 +270,53 @@ def test_rowdirs_with_runs_rle_walk_equivalence():
             else max_steps
         assert np.array_equal(dense[r, :stop], plain[r, :stop]), r
     assert int(used) >= 1
+
+
+@pytest.mark.parametrize("start", [-1, -2, -3, 1, 2, 3])
+def test_pallas_rowscan2_matches_rowscan(start):
+    """2-carry (H, T3) kernel is cell-identical to the 3-carry one."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowscan2_score_batch,
+        pallas_rowscan_score_batch,
+    )
+    rng = np.random.default_rng(23)
+    a, b, la, lb, _ = make_batch(rng, 9, 19, 23)
+    got = pallas_rowscan2_score_batch(a, b, la, lb, start_type=start,
+                                      block_b=8, interpret=True)
+    want = pallas_rowscan_score_batch(a, b, la, lb, start_type=start,
+                                      block_b=8, interpret=True)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("g,h", [(1, 2), (2, 1), (1, 0), (3, 5)])
+def test_pallas_rowscan2_params(g, h):
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowscan2_score_batch,
+    )
+    rng = np.random.default_rng(29)
+    a, b, la, lb, _ = make_batch(rng, 8, 15, 18)
+    got = pallas_rowscan2_score_batch(a, b, la, lb, g=g, h=h, block_b=8,
+                                      interpret=True)
+    want = np.asarray(wavefront_score_batch(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+        g=g, h=h))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rowscan2_uniform_la_branch():
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        pallas_rowscan2_score_batch,
+        pallas_rowscan_score_batch,
+    )
+    rng = np.random.default_rng(31)
+    bm, bn = 18, 22
+    a, b, la, lb, _ = make_batch(rng, 9, bm, bn)
+    la[:] = bm
+    for k in range(len(la)):
+        a[k, :] = np.frombuffer(
+            "".join(rng.choice(list("ACGT"), bm)).encode(), np.uint8)
+    got = pallas_rowscan2_score_batch(a, b, la, lb, block_b=8,
+                                      interpret=True)
+    want = pallas_rowscan_score_batch(a, b, la, lb, block_b=8,
+                                      interpret=True)
+    np.testing.assert_array_equal(got, want)
