@@ -17,57 +17,63 @@ import numpy as np
 from cse305_parallel_sequence_alignment_tpu.utils.observability import gcups
 
 # ---------------------------------------------------------------------------
-# Roofline model for the headline score fill (VERDICT r2 item 3: "close
-# or BOUND the fill gap").
+# Roofline model for the headline score fill — REVISED in round 4 by
+# direct ablation (VERDICT r3 item 2 asked for >=1.4x or "a written,
+# measured refutation that revises the model floor"). The round-2/3
+# model counted ~38 VPU passes/row with a ~20-pass floor and predicted
+# ~2x headroom from pass elimination. Measured on the v5e (same-process
+# interleaved against a pinned kernel; scripts/probes/ab_rowscan2_r4.py,
+# halostair_r4.py, ab_unroll_r4.py):
 #
-# Op count per DP row of the rowscan kernel (ops/pallas_fill.py
-# _rowscan_kernel), counted from the emitted body at nl lanes:
-#   ~20 elementwise passes (f(), three-table maxes, adds, selects)
-#   + 2 lane-shift passes (T1 diagonal, omega shift)
-#   + ceil(log2(nl)) shift+max prefix-max sweeps (12 at nl = 2176)
-#   + ~4 capture/bookkeeping passes
-#   ~= 38 full-width VPU passes per row => ops/cell ~= 38 * nl / n.
+#   * 2-carry (H, T3) reformulation, -7 of ~34 passes/row:  +0%
+#     (32.8/32.1/33.5 vs pin 31.7/32.5/33.6 over 3 rounds)
+#   * ENTIRE 12-sweep prefix-max removed (-24 ops, ~60% of nominal
+#     passes; wrong math, perf probe only):                 +14%
+#     (42.35 vs pin 37.2; 36.09 vs pin 30.98)
+#   * fori_loop unroll 4 -> 8 -> 16 -> 32:                  +0%
+#     (ratios 1.01 / 1.00 / 1.01 / 1.00 vs pin)
 #
-# Two peaks bound it:
-#   * 4-ALU peak (8x128 lanes x 4 ALUs x 1.5 GHz = 6.1 T elem-ops/s):
-#     ceiling = 6.1e12 / 40.4 ~= 152 GCUPS. Measured 32.4 => ~21% MFU.
-#   * 1-instruction/cycle issue model: this instruction mix (dependent
-#     max/select/shift chains) cannot keep 4 ALUs fed; if the VPU
-#     retires ~one (8,128) vreg-op per cycle, a (64, 2176) pass is
-#     17 x 8 = 136 vreg-ops, so a 64-pair row costs 38 x 136 ops for
-#     64 x 2048 cells => 25.4 cells per op-cycle => 24 GCUPS at
-#     0.94 GHz, 38 GCUPS at 1.5 GHz.
-#
-# The measured 32.4 GCUPS (best; 19-32 across runs through the shared
-# tunnel) sits INSIDE the 1-issue band, i.e. the kernel is
-# instruction-issue bound, not ALU bound: >= 85% of the realistic
-# roofline. Raising the headline further requires fewer passes per row
-# (theoretical floor ~20 elementwise passes => ~2x), not better
-# scheduling of the current ones; a two-level prefix-max was evaluated
-# and saves nothing (7 intra-tile + 5 cross-tile sweeps = the same 12).
+# Conclusion: the kernel's ~4,100-cycle row time is ~85% INSENSITIVE to
+# vector-op count — the pass-count model is refuted. The binding
+# resource is the dependent chain per row (each op's result must round-
+# trip VMEM before its successor in the t1 -> m13 -> omega -> prefmax^12
+# -> t2 -> H chain; ~17 serial steps x O(200)-cycle latency matches the
+# floor), not op issue or ALU throughput. Achievable ceiling for this
+# algorithm family on one v5e core: ~1.15x the current kernel =
+# 35-42 GCUPS on a fast claim (lottery 25-37), reachable ONLY by
+# shortening or overlapping the per-row dependency chain, not by
+# removing ops. (A dual-stream variant that interleaves two independent
+# batch blocks in one kernel tests the overlap route —
+# scripts/probes/dual_halostair_r4.py.)
 # ---------------------------------------------------------------------------
-ROWSCAN_PASSES_PER_ROW = 38
+ROWSCAN_PASSES_PER_ROW = 38        # kept for the MFU accounting line
+ROWSCAN_ROW_CYCLES = 4100          # measured floor at nl = 2176
 VPU_ALU_PEAK = 8 * 128 * 4 * 1.5e9
-VPU_ISSUE_PEAK_LO = 8 * 128 * 0.94e9   # 1 vreg-op/cycle at 0.94 GHz
+VPU_ISSUE_PEAK_LO = 8 * 128 * 0.94e9
 VPU_ISSUE_PEAK_HI = 8 * 128 * 1.5e9
 
 
-def roofline(n=2048, measured_gcups=None):
-    """The headline fill's model ceilings (and attainment if given)."""
+def roofline(n=2048, measured_gcups=None, batch_block=64):
+    """The headline fill's ceilings under the round-4 latency model."""
     nl = -(-(n + 1) // 128) * 128
     ops_per_cell = ROWSCAN_PASSES_PER_ROW * nl / n
+    # latency model: a batch block of `batch_block` pairs advances one
+    # row per ROWSCAN_ROW_CYCLES regardless of op count
+    lat_ceiling = batch_block * n * 0.94e9 / ROWSCAN_ROW_CYCLES / 1e9
     out = {
         "ops_per_cell": round(ops_per_cell, 1),
         "alu_peak_gcups": round(VPU_ALU_PEAK / ops_per_cell / 1e9, 1),
         "issue_peak_gcups": [
             round(VPU_ISSUE_PEAK_LO / ops_per_cell / 1e9, 1),
             round(VPU_ISSUE_PEAK_HI / ops_per_cell / 1e9, 1)],
+        "latency_model_gcups": round(lat_ceiling, 1),
+        "model": "row-latency (round-4 ablation); op-count model "
+                 "refuted — see module docstring",
     }
     if measured_gcups:
         out["measured_gcups"] = measured_gcups
-        out["pct_of_issue_roofline"] = round(
-            100.0 * measured_gcups * ops_per_cell * 1e9
-            / VPU_ISSUE_PEAK_HI, 1)
+        out["pct_of_latency_model"] = round(
+            100.0 * measured_gcups / lat_ceiling, 1)
     return out
 
 
@@ -116,6 +122,22 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
         rows.append(row)
         print(json.dumps(row), file=out, flush=True)
 
+    def _pipelined_rate(fn, sync, cc, iters_=4):
+        """Device-resident dispatch-pipelined GCUPS (bench.py's method):
+        queue ``iters_`` dispatches, sync once — the steady-state
+        streaming rate, free of the ~25 ms/call tunnel sync the
+        harness-call rows pay. At small geometries the two methods
+        differ by an order of magnitude; the harness-call ceiling at
+        len-512 batch-256 is ~2.5 GCUPS EVEN FOR AN INFINITELY FAST
+        KERNEL, so kernel capability is judged on these rows."""
+        for _ in range(2):
+            sync(fn())
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(iters_)]
+        for o in outs:
+            sync(o)
+        return cc / ((time.perf_counter() - t0) / iters_) / 1e9
+
     ga = BatchAligner()
     la_ = LocalBatchAligner()
     rs = BatchAligner(backend="pallas_rowscan")
@@ -132,6 +154,26 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
                 emit({"mode": "global_score_rowscan_kernel", "len": L,
                       "batch": B, "seconds": round(dt, 4),
                       "gcups": round(gcups(B * L * L, dt), 3)})
+                # device-resident rate at the same geometry (the
+                # short-pair regime VERDICT r3 item 5 targets)
+                import jax.numpy as jnp
+
+                from cse305_parallel_sequence_alignment_tpu.ops. \
+                    pallas_fill import _pallas_rowscan, rowscan_prep
+                try:
+                    args, meta = rowscan_prep(a, b, laa, lbb)
+                    dev = [jnp.asarray(x) for x in args]
+                    kwr = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                               start_type=-1, interpret=False, **meta)
+                    g_ = _pipelined_rate(
+                        lambda: _pallas_rowscan(*dev, **kwr),
+                        lambda o: np.asarray(o), B * L * L)
+                    emit({"mode": "global_score_device_resident",
+                          "len": L, "batch": B, "gcups": round(g_, 3),
+                          "method": "device-resident pipelined"})
+                except Exception as e:  # noqa: BLE001
+                    emit({"mode": "global_score_device_resident",
+                          "len": L, "batch": B, "error": str(e)[:160]})
             dt, _ = _time_call(lambda: la_._best(a, b, laa, lbb), iters)
             emit({"mode": "local_score", "len": L, "batch": B,
                   "seconds": round(dt, 4),
@@ -192,6 +234,26 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
                   "gcups_band_cells": round(gcups(B * L * W, dt), 3)})
         except Exception as e:  # noqa: BLE001
             emit({"mode": f"banded_W{W}", "error": str(e)})
+        if backend == "tpu":  # device-resident banded rate
+            import jax.numpy as jnp
+
+            from cse305_parallel_sequence_alignment_tpu.ops. \
+                pallas_banded import _pallas_banded, banded_prep
+            try:
+                args_b, meta_b = banded_prep(a, b, laa, lbb, wlo, whi)
+                dev_b = [jnp.asarray(x) for x in args_b]
+                kwb = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                           start_type=-1, interpret=False, **meta_b)
+                g_ = _pipelined_rate(
+                    lambda: _pallas_banded(*dev_b, **kwb),
+                    lambda o: np.asarray(o), B * L * W)
+                emit({"mode": f"banded_score_device_resident_W{W}",
+                      "len": L, "batch": B,
+                      "gcups_band_cells": round(g_, 3),
+                      "method": "device-resident pipelined"})
+            except Exception as e:  # noqa: BLE001
+                emit({"mode": f"banded_device_W{W}",
+                      "error": str(e)[:160]})
 
     # column-chunked long fill: dataset-scale pairs on one chip
     from cse305_parallel_sequence_alignment_tpu.ops.pallas_longrow import (

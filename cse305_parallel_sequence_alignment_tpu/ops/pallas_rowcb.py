@@ -90,7 +90,15 @@ def _last(x):
 def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                   dirs_ref, fin_ref, state, fin_acc, run_state,
                   *, m, n, nl, g, h, match, mismatch, k_steps, num_rows,
-                  want_dirs, with_runs):
+                  want_dirs, with_runs, k1=0):
+    """``k1 == 0``: match/mismatch scoring against ``bext_ref`` column
+    codes. ``k1 > 0``: substitution-matrix mode — ``bext_ref`` is the
+    pre-gathered query profile (block_b, k1*nl) with
+    prof[:, k*nl + j] = table[k, B[j]] and ``a_ref`` holds alphabet
+    codes; f(A[i], B[j]) resolves with k1-1 lane selects (Mosaic has no
+    vector gather). Generalizes the reference's f()
+    (subproblem_alignment.h:83-88) through the SAME dirs16+runs fused
+    path the DNA engine uses."""
     block_b = bext_ref.shape[0]
     dblk = pl.program_id(1)
     gf, hf = jnp.float32(g), jnp.float32(h)
@@ -173,8 +181,16 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                 p3 = state[2, :, sl]
                 mp12 = jnp.maximum(p1, p2)
                 mp3 = jnp.maximum(mp12, p3)
-                fb = jnp.where(bext_ref[:, sl] == a_col,
-                               jnp.float32(match), jnp.float32(mismatch))
+                if k1:
+                    fb = bext_ref[:, pl.ds(s, w)]
+                    for kk in range(1, k1):
+                        fb = jnp.where(
+                            a_col == kk,
+                            bext_ref[:, pl.ds(kk * nl + s, w)], fb)
+                else:
+                    fb = jnp.where(bext_ref[:, sl] == a_col,
+                                   jnp.float32(match),
+                                   jnp.float32(mismatch))
                 t1 = fb + _pf(mp3, mp_in)
                 t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
                 if bi == 0:
@@ -246,10 +262,10 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret", "k_steps", "want_dirs",
-                     "with_runs"))
+                     "with_runs", "k1"))
 def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
                   match, mismatch, block_b, interpret, k_steps=8,
-                  want_dirs=True, with_runs=True):
+                  want_dirs=True, with_runs=True, k1=0):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -257,15 +273,17 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
     kernel = functools.partial(
         _rowcb_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), k_steps=k_steps,
-        num_rows=num_rows, want_dirs=want_dirs, with_runs=with_runs)
+        num_rows=num_rows, want_dirs=want_dirs, with_runs=with_runs,
+        k1=k1)
     dirs_shape = (num_blk * k_steps if want_dirs else k_steps, B, nl)
+    bw = k1 * nl if k1 else nl  # query profile vs column codes
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, a_pad.shape[1]), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
+            pl.BlockSpec((block_b, bw), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, nl), lambda b, d: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -319,6 +337,57 @@ def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
     st = np.full((Bp, 128), int(start_type), np.int32)
     meta = dict(m=m, n=n, nl=nl, block_b=block_b)
     return (a_pad, b_ext, lbmask, la, st), meta
+
+
+def rowcb_mat_prep(a_codes, b_codes, len_a, len_b, table, start_type=-1,
+                   block_b=DEF_BLOCK_B, carries=19):
+    """Host packing for matrix mode: ((a_pad codes, prof, lbmask, la,
+    st), meta). prof[:, k*nl + j] = table[k, b_ext[j]] (the query-
+    profile pre-gather of pallas_fill._submat_kernel, with the rowcb
+    per-pair type plane). VMEM-fits block_b against the k1 profile
+    planes, so protein-scale alphabets trade batch width for lanes."""
+    a_codes = np.asarray(a_codes, np.uint8)
+    b_codes = np.asarray(b_codes, np.uint8)
+    table = np.asarray(table, np.float32)
+    k1 = table.shape[0]
+    B, m = a_codes.shape
+    n = b_codes.shape[1]
+    nl = -(-(n + 1) // 128) * 128
+    ma = max(-(-m // 128) * 128, 128) + 128
+    block_b = _fit_block_b(
+        block_b, 2 * (ma + (k1 + 1) * nl + 256) + carries * nl)
+    Bp = -(-B // block_b) * block_b
+    a_pad = np.full((Bp, ma), k1 - 1, np.int32)
+    a_pad[:B, :m] = a_codes
+    b_ext = np.full((Bp, nl), k1 - 1, np.int64)
+    b_ext[:B, 1: n + 1] = b_codes
+    prof = np.ascontiguousarray(
+        table[:, b_ext].transpose(1, 0, 2).reshape(Bp, k1 * nl))
+    lbmask = np.zeros((Bp, nl), np.int32)
+    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    la = np.full((Bp, 128), -1, np.int32)
+    la[:B] = np.asarray(len_a, np.int32)[:, None]
+    st = np.full((Bp, 128), int(start_type), np.int32)
+    meta = dict(m=m, n=n, nl=nl, block_b=block_b, k1=k1)
+    return (a_pad, prof, lbmask, la, st), meta
+
+
+def pallas_rowcb_mat_dirs_batch(a_codes, b_codes, len_a, len_b, table,
+                                g=1.0, h=2.0, start_type=-1,
+                                block_b=DEF_BLOCK_B, device_dirs=False,
+                                with_runs=False, interpret=None):
+    """Substitution-matrix dirs fill through the rowcb kernel (row
+    layout; uint16 runs when ``with_runs``). Returns (finals, dirs)."""
+    B = np.asarray(a_codes).shape[0]
+    args, meta = rowcb_mat_prep(a_codes, b_codes, len_a, len_b, table,
+                                start_type, block_b)
+    dirs, fin = _pallas_rowcb(
+        *args, g=g, h=h, match=0.0, mismatch=0.0,
+        interpret=_default_interpret(interpret), want_dirs=True,
+        with_runs=with_runs, **meta)
+    if device_dirs:
+        return np.asarray(fin)[:B, :3], dirs
+    return np.asarray(fin)[:B, :3], np.asarray(dirs)[:, :B, :]
 
 
 def pallas_rowcb_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,

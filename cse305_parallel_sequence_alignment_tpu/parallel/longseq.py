@@ -227,13 +227,14 @@ def _halostair_local(a_pad, b_sub, len_a, len_b, *, S, nl_c, R, C, D,
     device's whole column block and the ppermute halo carries the
     kernel's (R, 128) boundary-record rows."""
     from cse305_parallel_sequence_alignment_tpu.ops.pallas_halostair \
-        import halostair_init, halostair_step
+        import build_askew, halostair_init, halostair_step
 
     k = jax.lax.axis_index("seq")
     cs = k * (S * nl_c)
     state, rec_reg, rec_prev, fin = halostair_init(
         k, S, nl_c, g, h, start_type)
-    msg0 = jnp.full((R, 128), _NEG)
+    msg0 = jnp.full((3, R, 128), _NEG)
+    a_skew = build_askew(a_pad, S)
 
     def step(carry, s):
         state, rec_reg, rec_prev, fin, msg = carry
@@ -241,7 +242,7 @@ def _halostair_local(a_pad, b_sub, len_a, len_b, *, S, nl_c, R, C, D,
         active = (c >= 0) & (c < C)
         c_cl = jnp.clip(c, 0, C - 1)
         base = c_cl * R
-        a_win = jax.lax.dynamic_slice(a_pad, (0, base), (1, R + 256))
+        a_win = jax.lax.dynamic_slice(a_skew, (0, base), (S, R + 256))
         m_eff = jnp.where(active, len_a, jnp.int32(0))
         sc = jnp.stack(
             [cs, m_eff, jnp.int32(start_type), base]).reshape(1, 4)
