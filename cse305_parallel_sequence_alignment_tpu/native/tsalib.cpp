@@ -201,14 +201,14 @@ static void walk_one_pair(
 }
 
 // Replay the run-length walk entries the fused device path emits
-// (ops/device_walk.py _walk_core_rle: entry byte = op | runlen << 2;
+// (ops/device_walk.py _walk_core_rle: uint16 entry = op | runlen << 2;
 // a round is runlen rec-1 steps then one rec-op step; op == 0 ends the
 // stream). Reproduces ops/device_walk.py replay_ops exactly: quirk-B2
 // zeros, global offsets, parity (B1: stop at the edge, drop the
 // deepest point) or full mode (forced edge runs to the corner).
 // Returns -1 in out_len[r] if pair r's stream ends before an edge
 // (corrupt entries) — the Python wrapper raises.
-static void replay_one(const uint8_t* ent, int64_t Rn, int64_t la,
+static void replay_one(const uint16_t* ent, int64_t Rn, int64_t la,
                        int64_t lb, int t0, int64_t id_a, int64_t id_b,
                        int mode, int64_t cap, int32_t* out_t,
                        int64_t* out_i, int64_t* out_j, int64_t* out_len,
@@ -231,7 +231,7 @@ static void replay_one(const uint8_t* ent, int64_t Rn, int64_t la,
         push(i, j, t);
         if (!have) {
             if (e >= Rn) { out_len[r] = -1; return; }
-            uint8_t b = ent[e++];
+            uint16_t b = ent[e++];
             pend = b & 3;
             run = b >> 2;
             if (pend == 0) { out_len[r] = -1; return; }
@@ -265,7 +265,7 @@ static void replay_one(const uint8_t* ent, int64_t Rn, int64_t la,
     out_len[r] = len;
 }
 
-int tsa_replay_rle_batch(const uint8_t* entries, int64_t Rn,
+int tsa_replay_rle_batch(const uint16_t* entries, int64_t Rn,
                          const int64_t* la, const int64_t* lb,
                          const int32_t* t0s, const int64_t* id_a,
                          const int64_t* id_b, int64_t B, int mode,

@@ -132,7 +132,7 @@ def walk_batch(dirs, pair_axis, ms, ns, t0s, layout, mode):
 
 def replay_rle(entries, la, lb, t0s, mode, offsets=None, chunk=None):
     """Thread-parallel replay of the fused path's RLE walk entries
-    ((B, Rn) uint8, entry = op | runlen << 2). Mirrors
+    ((B, Rn) uint16, entry = op | runlen << 2). Mirrors
     ops/device_walk.py replay_ops exactly (B1/B2 quirks, offsets, full
     mode's forced edge runs). Returns (tt, ii, jj, lens) or None when
     the native library is unavailable; raises RuntimeError if a stream
@@ -140,7 +140,7 @@ def replay_rle(entries, la, lb, t0s, mode, offsets=None, chunk=None):
     lib = _load()
     if lib is None:
         return None
-    entries = np.ascontiguousarray(entries, np.uint8)
+    entries = np.ascontiguousarray(entries, np.uint16)
     B, Rn = entries.shape
     la = np.ascontiguousarray(la, np.int64)
     lb = np.ascontiguousarray(lb, np.int64)

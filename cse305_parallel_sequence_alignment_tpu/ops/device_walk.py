@@ -116,17 +116,21 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1):
     (ops/pallas_fill.py _rowdirs_kernel): one dependent gather consumes
     a WHOLE diagonal run.
 
-    Each uint16 cell holds [codes(8) | runlen R(6) | code-after ca(2)].
-    A round at (i, j, t): for t == 1 it takes R rec-1 steps plus one
-    rec-(ca+1) step (R+1 diagonal moves); for t in (2, 3) one normal
-    step. The round records ONE entry byte (op | k << 2) with
-    op = rec of the round's last step (2 bits) and k = R (6 bits);
-    expand_rle_ops reproduces the per-step op stream bit-identically to
-    _walk_core (tests assert so). Positions may overshoot the DP edge
-    (the run jump is not edge-clamped); the host replay cuts at the
-    first edge touch exactly as it does for single steps, so trailing
-    recs are dead by construction. Returns (entries (rounds_pad, B)
-    uint8 device array, rounds_used scalar).
+    Each uint16 cell holds [codes d1|d2|d3 (6) | code-after ca (2) |
+    runlen R (8)] — round 4 widened R from 6 to 8 bits using the code
+    byte's two spare bits, quartering the dependent-gather rounds on
+    diagonal-dominated paths (the walk was ~38 ms of an ~80 ms fused
+    dispatch at 2 kb x 128 with the 63-cap). A round at (i, j, t): for
+    t == 1 it takes R rec-1 steps plus one rec-(ca+1) step (R+1
+    diagonal moves); for t in (2, 3) one normal step. The round records
+    ONE uint16 entry (op | k << 2) with op = rec of the round's last
+    step (2 bits) and k = R (8 bits); expand_rle_ops reproduces the
+    per-step op stream bit-identically to _walk_core (tests assert so).
+    Positions may overshoot the DP edge (the run jump is not
+    edge-clamped); the host replay cuts at the first edge touch exactly
+    as it does for single steps, so trailing recs are dead by
+    construction. Returns (entries (rounds_pad, B) uint16 device array,
+    rounds_used scalar).
     """
     import jax
     import jax.numpy as jnp
@@ -150,14 +154,15 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1):
         codes = word & 0xFF
         c_now = (codes >> shifts[t]) & 3
         is_run = t == 1
-        k = jnp.where(is_run, (word >> 8) & 63, 0)
-        op = jnp.where(is_run, (word >> 14) & 3, c_now)
+        k = jnp.where(is_run, (word >> 8) & 255, 0)
+        op = jnp.where(is_run, (word >> 6) & 3, c_now)
         di = jnp.where(is_run, k + 1, jnp.where(t == 3, 1, 0))
         dj = jnp.where(is_run, k + 1, jnp.where(t == 2, 1, 0))
         active = ~done
         i2 = jnp.where(active, i - di, i)
         j2 = jnp.where(active, j - dj, j)
-        ent = jnp.where(active, (op + 1) | (k << 2), 0).astype(jnp.uint8)
+        ent = jnp.where(active, (op + 1) | (k << 2), 0).astype(
+            jnp.uint16)
         t2 = jnp.where(active, op + 1, t)
         done2 = done | (i2 <= 0) | (j2 <= 0)
         return i2, j2, t2, done2, ent
@@ -183,7 +188,7 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1):
     j0 = j0.astype(jnp.int32)
     t0 = t0.astype(jnp.int32)
     done0 = (i0 == 0) | (j0 == 0)
-    ops0 = jnp.zeros((nblk * U, B), jnp.uint8)
+    ops0 = jnp.zeros((nblk * U, B), jnp.uint16)
     _, _, _, _, ops, kfin = jax.lax.while_loop(
         cond, body, (i0, j0, t0, done0, ops0, jnp.int32(0)))
     return ops, kfin * U

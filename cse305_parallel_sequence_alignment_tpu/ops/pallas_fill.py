@@ -450,10 +450,10 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     masking is spent on them.
 
     ``with_runs`` (the fused-walk fast path): the output is uint16 —
-    low byte the packed codes, bits 8-13 the DIAGONAL RUN LENGTH
+    bits 0-5 the packed codes, bits 8-15 the DIAGONAL RUN LENGTH
     R(i,j) (number of consecutive rec-1 steps a T1 walk takes from
-    (i,j): R = c1==0 ? min(R(i-1,j-1)+1, 63) : 0, one extra lane-shift
-    carry), bits 14-15 the code AFTER the run (ca = c1==0 ?
+    (i,j): R = c1==0 ? min(R(i-1,j-1)+1, 255) : 0, one extra lane-shift
+    carry), bits 6-7 the code AFTER the run (ca = c1==0 ?
     (capped ? 0 : ca(i-1,j-1)) : c1). The device walk then consumes a
     whole diagonal run per dependent gather instead of one step
     (ops/device_walk.py _walk_core_rle) — the dependent-gather chain is
@@ -545,13 +545,13 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                 r_prev = _shift_right_zero_i(run_state[0])
                 ca_prev = _shift_right_zero_i(run_state[1])
                 is_run = d1 == 0
-                capped = r_prev >= 63
+                capped = r_prev >= 255
                 r_cur = jnp.where(is_run,
-                                  jnp.minimum(r_prev + 1, 63), 0)
+                                  jnp.minimum(r_prev + 1, 255), 0)
                 ca_cur = jnp.where(is_run,
                                    jnp.where(capped, 0, ca_prev), d1)
                 run_state[0], run_state[1] = r_cur, ca_cur
-                packed = packed | (r_cur << 8) | (ca_cur << 14)
+                packed = packed | (ca_cur << 6) | (r_cur << 8)
             dirs_ref[u] = packed.astype(out_dtype)
 
             t_pack = _pack3((t1, t2, t3))

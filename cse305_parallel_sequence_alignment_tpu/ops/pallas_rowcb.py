@@ -226,14 +226,14 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                         r_in = _last(pr)
                         ca_in = _last(pca)
                         is_run = d1 == 0
-                        capped = r_prev >= 63
+                        capped = r_prev >= 255
                         r_cur = jnp.where(
-                            is_run, jnp.minimum(r_prev + 1, 63), 0)
+                            is_run, jnp.minimum(r_prev + 1, 255), 0)
                         ca_cur = jnp.where(
                             is_run, jnp.where(capped, 0, ca_prev), d1)
                         run_state[0, :, sl] = r_cur
                         run_state[1, :, sl] = ca_cur
-                        packed = packed | (r_cur << 8) | (ca_cur << 14)
+                        packed = packed | (ca_cur << 6) | (r_cur << 8)
                     dirs_ref[u, :, sl] = packed.astype(out_dtype)
 
                 cap = (la_col == i) & (lbmask_ref[:, sl] != 0)
