@@ -103,6 +103,12 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
         finals, jnp.clip(en_v - 1, 0, 2)[:, None], axis=1)[:, 0]
     tb = jnp.where(forced, en_v, tb_free).astype(jnp.int32)
     sc = jnp.where(forced, sc_forced, sc_free)
+    # The XLA while-loop walk costs ~0.25 ms per RLE round at B = 128
+    # (~25 ms for random-DNA 2 kb paths). A Pallas scalar-walk kernel
+    # (ops/pallas_walk.py) was built and measured bit-exact on hardware
+    # but no faster (31-35 ms: per-round cost is scalar-core overhead,
+    # not DMA latency, so interleaving G chains doesn't amortize it) —
+    # it stays available as an experimental backend, XLA is default.
     entries, used = _walk_core_rle(dirs16, la_v, lb_v, tb,
                                    max_steps=max_steps, pair_axis=1)
     # capped prefix ships WITH the scores in one host transfer; the
@@ -546,14 +552,22 @@ class BatchAligner:
             handles
         ent, used, tables, scores = jax.device_get(
             (ent_cap_d, used_d, tables_d, scores_d))
-        if int(used) > ent.shape[0]:
-            # overflow past the shipped cap (atypical paths): fetch the
-            # full used prefix in a second round trip
-            rounds_cap = entries_d.shape[0]
-            rpad = min(rounds_cap, -(-int(used) // 256) * 256)
-            ent = jax.device_get(entries_d[:rpad])
         B = len(chunk)
-        ent_b = ent.T[:B]
+        if ent.dtype == np.int32:
+            # pallas-walk layout: pair-major (B, cap) int32 entries
+            if int(used) > ent.shape[1]:
+                rpad = min(entries_d.shape[1],
+                           -(-int(used) // 256) * 256)
+                ent = jax.device_get(entries_d[:, :rpad])
+            ent_b = ent[:B].astype(np.uint16)
+        else:
+            if int(used) > ent.shape[0]:
+                # overflow past the shipped cap (atypical paths): fetch
+                # the full used prefix in a second round trip
+                rounds_cap = entries_d.shape[0]
+                rpad = min(rounds_cap, -(-int(used) // 256) * 256)
+                ent = jax.device_get(entries_d[:rpad])
+            ent_b = ent.T[:B]
         from cse305_parallel_sequence_alignment_tpu.native import walker
         out = walker.replay_rle(ent_b, np.asarray(la, np.int64),
                                 np.asarray(lb, np.int64),

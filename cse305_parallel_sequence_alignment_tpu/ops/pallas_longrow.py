@@ -183,18 +183,27 @@ def _longrow_kernel(a_ref, bchunk_ref, lbm_ref, la_ref, st_ref, cs_ref,
             [_roll_last(mp_t), _roll_last(m13), _roll_last(pm)])
         return (t_pack, fin)
 
-    pq, fin = jax.lax.fori_loop(
-        0, rc, row_step, (state[...], fin_acc[...]))
-    state[...] = pq
-    fin_acc[...] = fin
-    # carry for the NEXT row block's u == 0: row (r+1)*rc 's mp_in =
-    # bnd_in slot (r+1)*rc - 1 = this block's last slot
-    if not first_chunk:
-        mp_carry[...] = jnp.broadcast_to(
-            _bnd_col(bnd_in_ref[rc - 1], 0), (block_b, 128))
+    # skip row blocks past every pair's la (dead ramp of a coarse
+    # rows_pad bucket): scratch freezes, their bnd slots are never
+    # consumed (the next chunk skips the same blocks) — this makes the
+    # row quantization nearly free so fewer programs compile cold
+    la_max = jnp.max(la_col)
+
+    @pl.when(r * rc < la_max)
+    def _():
+        pq, fin = jax.lax.fori_loop(
+            0, rc, row_step, (state[...], fin_acc[...]))
+        state[...] = pq
+        fin_acc[...] = fin
+        # carry for the NEXT row block's u == 0: row (r+1)*rc 's mp_in =
+        # bnd_in slot (r+1)*rc - 1 = this block's last slot
+        if not first_chunk:
+            mp_carry[...] = jnp.broadcast_to(
+                _bnd_col(bnd_in_ref[rc - 1], 0), (block_b, 128))
 
     @pl.when(r == num_rb - 1)
     def _():
+        fin = fin_acc[...]
         if want_row:
             fin_ref[...] = fin
         else:
@@ -348,13 +357,20 @@ def _row0_closed(n, g, h, start_type):
 
 
 def _quant_rows(m, rc):
-    """Padded row count, quantized to 4096-row buckets (power of two
-    below that): at the production chunk width (1024 lanes, under the
-    measured Mosaic compile cliff) each distinct program compiles in
-    ~2.5 s, so fine-grained row buckets beat padding waste."""
+    """Padded row count, quantized COARSELY: {pow2 <= 2048, 4096,
+    16384, then 16384 multiples}. Whole dead row-blocks are skipped in
+    the kernel (la_max pl.when), so padding costs grid overhead only,
+    while every distinct bucket is a ~2.5 s serial compile in a fresh
+    process — the bisection's levels now share programs (e.g. 6 k and
+    12 k rows both run the 16384 bucket)."""
     if m <= 2048:
         return -(-(1 << (max(m, 1) - 1).bit_length()) // rc) * rc
-    rows = -(-m // 4096) * 4096
+    if m <= 4096:
+        rows = 4096
+    elif m <= 16384:
+        rows = 16384
+    else:
+        rows = -(-m // 16384) * 16384
     return -(-rows // rc) * rc
 
 

@@ -115,3 +115,24 @@ def test_live_parity_8kb():
     pairs = [(seqs[5][:8192], seqs[13][:9000])]
     ok, mismatches = run_parity(pairs, driver=driver, p=1)
     assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
+
+
+@pytest.mark.slow
+def test_live_parity_14kb():
+    """Byte parity at 13.3 x 14 kb (VERDICT r3 item 10: one notch past
+    the 8-9 kb pin). The -O2 reference at p=1 allocates 3 double tables
+    (~4.5 GB here — fine on this VM's 125 GB); its serial fill is the
+    cost (~1 min), so the case is marked slow and runs in the full
+    suite only."""
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    # seqs[0] is the 13,309 nt gene — use it whole against a 14 kb slice
+    order = sorted(range(len(seqs)), key=lambda k: len(seqs[k]))
+    short = seqs[order[0]]
+    other = seqs[order[-1]][:14000]
+    assert len(short) <= len(other)
+    ok, mismatches = run_parity([(short, other)], driver=driver, p=1)
+    assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
