@@ -127,14 +127,17 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
         rows.append(row)
         print(json.dumps(row), file=out, flush=True)
 
-    def _pipelined_rate(fn, sync, cc, iters_=4):
+    def _pipelined_rate(fn, sync, cc, iters_=None):
         """Device-resident dispatch-pipelined GCUPS (bench.py's method):
-        queue ``iters_`` dispatches, sync once — the steady-state
-        streaming rate, free of the ~25 ms/call tunnel sync the
-        harness-call rows pay. At small geometries the two methods
-        differ by an order of magnitude; the harness-call ceiling at
-        len-512 batch-256 is ~2.5 GCUPS EVEN FOR AN INFINITELY FAST
-        KERNEL, so kernel capability is judged on these rows."""
+        queue many dispatches, sync once — the steady-state streaming
+        rate. The tunnel costs ~20-25 ms per un-amortized round trip,
+        so the queue depth scales inversely with the per-call work
+        (small fills need a deep queue before device time dominates);
+        the harness-call ceiling at len-512 batch-256 is ~2.5 GCUPS
+        EVEN FOR AN INFINITELY FAST KERNEL, so kernel capability is
+        judged on these rows."""
+        if iters_ is None:
+            iters_ = max(6, min(64, int(1.5e9 / max(cc, 1))))
         for _ in range(2):
             sync(fn())
         t0 = time.perf_counter()

@@ -349,7 +349,7 @@ def _row0_stack(n, start_type, g, h):
 
 
 def _longseq_run(a, b, params, start_type, mesh, row_chunk,
-                 backend="kernel"):
+                 backend="auto"):
     from cse305_parallel_sequence_alignment_tpu.core import encode_seq
     a_enc = encode_seq(a) if isinstance(a, (str, bytes)) else \
         np.asarray(a, np.uint8)
@@ -366,6 +366,11 @@ def _longseq_run(a, b, params, start_type, mesh, row_chunk,
         c1, c2, c3 = boundary_col0(m, start_type, g, h)
         finals = np.array([c1[m - 1], c2[m - 1], c3[m - 1]], np.float32)
         return finals, np.zeros((3, 0), np.float32), m, n
+    if backend == "auto":
+        # the halo-staircase kernel body on TPU; the XLA scan on CPU
+        # hosts, where interpret-mode Pallas executes each staircase
+        # step in Python (minutes per fill at test sizes)
+        backend = "kernel" if jax.default_backend() == "tpu" else "xla"
     if backend == "kernel" and params.h >= 0:
         # Pallas halo-staircase per-device body (kernel rate); the
         # 2-carry formulation folds T3's open through H, exact for
@@ -422,14 +427,15 @@ def longseq_pipeline_stats(m, n, devices, row_chunk=64):
 
 
 def longseq_score(a, b, params=ScoringParams(), start_type=-1,
-                  mesh=None, row_chunk=64, backend="kernel"):
+                  mesh=None, row_chunk=64, backend="auto"):
     """Sharded score-only fill of one (possibly huge) pair.
 
     Returns (3,) final-cell (T1, T2, T3) at (m, n), identical to
     rowscan_score. Columns are sharded over the ``seq`` axis of ``mesh``
-    (default: all devices). ``backend``: "kernel" = the Pallas
-    halo-staircase per-device body (default; falls back automatically
-    for h < 0), "xla" = the round-3 pure-XLA row scan."""
+    (default: all devices). ``backend``: "auto" = the Pallas
+    halo-staircase per-device body on TPU / the XLA row scan on CPU;
+    "kernel" forces the Pallas body (falls back automatically for
+    h < 0); "xla" forces the round-3 scan."""
     finals, _, _, _ = _longseq_run(a, b, params, start_type, mesh,
                                    row_chunk, backend=backend)
     return np.asarray(finals)
@@ -489,7 +495,7 @@ def longseq_score_batch(pairs, params=ScoringParams(), start_type=-1,
 
 
 def longseq_lastrow(a, b, params=ScoringParams(), start_type=-1,
-                    mesh=None, row_chunk=64, backend="kernel"):
+                    mesh=None, row_chunk=64, backend="auto"):
     """Sharded fill returning the full last row: (3, n+1) values of
     T1/T2/T3 at row m, columns 0..n — identical to rowscan_lastrow's
     final row but O(n/D) memory per device. This is the partition

@@ -216,8 +216,10 @@ def main():
           True)
     fin_cb16, dirs_cb16 = pallas_rowcb_dirs_batch(a, b, la, lb,
                                                   with_runs=True)
-    check("pallas_rowcb_dirs16 low byte",
-          np.array_equal(np.asarray(dirs_cb16)[:, :B, :] & 0xFF,
+    # code bits 0-5 match the plain byte; bits 6-7 hold the after-run
+    # code since the round-4 8-bit run widening
+    check("pallas_rowcb_dirs16 code bits",
+          np.array_equal(np.asarray(dirs_cb16)[:, :B, :] & 0x3F,
                          np.asarray(dirs_cb)[:, :B, :].astype(np.uint16)),
           True)
 
