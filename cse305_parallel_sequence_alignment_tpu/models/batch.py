@@ -368,6 +368,12 @@ class BatchAligner:
                 # chunk's device time hides the first's host replay +
                 # render (25% more pairs/s in the paired chip A/B)
                 step = -(-len(idxs) // 2)
+            elif step < len(idxs):
+                # equalize chunk sizes: a ragged tail (e.g. 239+17 at
+                # the default budget) pays a full walk + sync for a
+                # sliver of work
+                nchunks = -(-len(idxs) // step)
+                step = -(-len(idxs) // nchunks)
             for s in range(0, len(idxs), step):
                 chunk = idxs[s: s + step]
                 a, b, la, lb = self._bucket_arrays(enc_a, enc_b, chunk, key)

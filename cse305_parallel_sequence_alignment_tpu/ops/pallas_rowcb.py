@@ -270,6 +270,17 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
     grid = (B // block_b, num_blk)
+    # sequences may arrive uint8 (4x cheaper host->device through the
+    # evaluation tunnel) and the lb mask as a (B, 128) length plane;
+    # widen / expand ON DEVICE (Mosaic needs 32-bit vector inputs)
+    if a_pad.dtype != jnp.int32:
+        a_pad = a_pad.astype(jnp.int32)
+    if b_ext.dtype != jnp.int32:
+        b_ext = b_ext.astype(jnp.int32)
+    if lbmask.shape[1] != nl:  # (B, 128) len_b plane (nl == 128 buckets
+        # ship the real mask, so width disambiguates)
+        jj = jnp.arange(nl, dtype=jnp.int32)[None, :]
+        lbmask = (jj == lbmask[:, 0:1]).astype(jnp.int32)
     kernel = functools.partial(
         _rowcb_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), k_steps=k_steps,
@@ -317,7 +328,11 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
 
 def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
                block_b=DEF_BLOCK_B, carries=19):
-    """Host-side packing (rowscan_prep with the per-pair type plane)."""
+    """Host-side packing (rowscan_prep with the per-pair type plane).
+
+    Sequences stay uint8 and the lb mask ships as a (Bp, 128) length
+    plane — 4x fewer host->device bytes through the evaluation tunnel;
+    _pallas_rowcb widens and expands on device."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -326,17 +341,21 @@ def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
     ma = max(-(-m // 128) * 128, 128) + 128
     block_b = _fit_block_b(block_b, 2 * (ma + 2 * nl + 256) + carries * nl)
     Bp = -(-B // block_b) * block_b
-    a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
+    a_pad = np.full((Bp, ma), int(PAD_A), np.uint8)
     a_pad[:B, :m] = a_enc
-    b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
+    b_ext = np.full((Bp, nl), int(PAD_B), np.uint8)
     b_ext[:B, 1: n + 1] = b_enc
-    lbmask = np.zeros((Bp, nl), np.int32)
-    lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    if nl == 128:  # width would be ambiguous with the length plane
+        lbq = np.zeros((Bp, nl), np.int32)
+        lbq[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    else:
+        lbq = np.full((Bp, 128), -1, np.int32)
+        lbq[:B] = np.asarray(len_b, np.int32)[:, None]
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     st = np.full((Bp, 128), int(start_type), np.int32)
     meta = dict(m=m, n=n, nl=nl, block_b=block_b)
-    return (a_pad, b_ext, lbmask, la, st), meta
+    return (a_pad, b_ext, lbq, la, st), meta
 
 
 def rowcb_mat_prep(a_codes, b_codes, len_a, len_b, table, start_type=-1,

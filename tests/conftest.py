@@ -45,3 +45,18 @@ def golden_pipeline():
 @pytest.fixture(scope="session")
 def golden_subproblem():
     return load_golden("subproblem")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles many hundreds of CPU programs in one
+    process; past ~80% the XLA CPU backend segfaults INSIDE a compile
+    (reproduced three times at the same test, with and without the
+    persistent cache, on an idle machine — accumulated JIT state, not
+    this repo's code). Dropping executables at module boundaries keeps
+    the process under the trigger threshold at the cost of some
+    cross-module recompiles."""
+    yield
+    jax.clear_caches()
