@@ -83,7 +83,7 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
         import jax.numpy as jnp
 
         from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
-            import _pallas_rowdirs, _pallas_rowscan, rowscan_prep
+            import _pallas_rowscan, rowscan_prep
 
         args, meta = rowscan_prep(a, b, la, lb)
         dev = [jnp.asarray(x) for x in args]
@@ -108,11 +108,6 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
             100.0 * (batch * meta["nl"] * ROWSCAN_OPS_PER_ROW * m / dt)
             / VPU_PEAK_OPS, 1)
 
-        dkw = dict(kw)
-        dkw.pop("uniform_la")
-        dkw.pop("start_type")
-        st = jnp.asarray(np.full((dev[0].shape[0], 128), -1, np.int32))
-
         def pipelined2(fn, sync):
             # 2-in-flight: each call's uint16 dirs output is ~2.3 GB at
             # batch 256 — a 6-deep queue exhausts HBM
@@ -128,10 +123,19 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
             return (time.perf_counter() - t0) / iters
 
         try:
+            # the PRODUCTION dirs fill: the column-blocked rowcb kernel
+            # with run-length emission, exactly as the fused e2e path
+            # dispatches it (models/batch.py _fused_fill_walk)
+            from cse305_parallel_sequence_alignment_tpu.ops. \
+                pallas_rowcb import _pallas_rowcb, rowcb_prep
+            args_cb, meta_cb = rowcb_prep(a, b, la, lb, carries=11)
+            dev_cb = [jnp.asarray(x) for x in args_cb]
+            ckw = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                       interpret=False, k_steps=2, **meta_cb)
             dt_d = pipelined2(
-                lambda: _pallas_rowdirs(*dev[:4], st, with_runs=True,
-                                        **dkw),
-                lambda o: np.asarray(o[0][:1, :1, :1]))
+                lambda: _pallas_rowcb(*dev_cb, want_dirs=True,
+                                      with_runs=True, **ckw),
+                lambda o: np.asarray(o[1][:1, :1]))
             extras["dirs_gcups"] = round(cells / dt_d / 1e9, 3)
         except Exception as e:  # noqa: BLE001
             extras["dirs_error"] = f"{type(e).__name__}: {e}"[:160]
@@ -168,7 +172,7 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
         # single-sample e2e numbers mushy round over round (VERDICT r2
         # weak 4); report the mean and the spread
         times = []
-        for _ in range(3 if on_tpu else 1):
+        for _ in range(5 if on_tpu else 1):
             t0 = time.perf_counter()
             res = al.align_batch(pairs)
             times.append(time.perf_counter() - t0)
