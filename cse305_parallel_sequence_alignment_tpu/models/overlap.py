@@ -174,7 +174,7 @@ class OverlapBatchAligner:
                             )
                         out, dirs = pallas_overlap_dirs_batch(
                             a, b, la, lb, device_dirs=True,
-                            **self._kw())
+                            with_runs=True, **self._kw())
                         layout = "row"
                     except Exception:  # noqa: BLE001
                         out = dirs = None

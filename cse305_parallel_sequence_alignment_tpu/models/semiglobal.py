@@ -179,7 +179,8 @@ class SemiGlobalBatchAligner:
                         )
                     try:
                         out, dirs = pallas_semiglobal_dirs_batch(
-                            a, b, la, lb, device_dirs=True, **self._kw())
+                            a, b, la, lb, device_dirs=True,
+                            with_runs=True, **self._kw())
                         pair_axis, layout = 1, "row"
                     except Exception as e:  # noqa: BLE001
                         _pallas_fallback_warn("semiglobal_dirs", e)

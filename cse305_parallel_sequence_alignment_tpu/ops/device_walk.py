@@ -231,12 +231,26 @@ def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
 
 
 def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew"):
+    import jax
     import jax.numpy as jnp
 
     i0 = np.asarray(i0, np.int64)
     j0 = np.asarray(j0, np.int64)
     t0 = np.asarray(t0, np.int64)
     max_steps = int(i0.max(initial=0) + j0.max(initial=0)) + 1
+    if dirs_dev.dtype == jnp.uint16 and layout == "row":
+        # run-length dirs (with_runs kernels): whole diagonal runs per
+        # dependent gather round (~0.25 ms each at B=128), expanded
+        # host-side to the identical per-step op stream
+        walk = jax.jit(functools.partial(
+            _walk_core_rle, max_steps=max_steps, pair_axis=pair_axis))
+        ent, _ = walk(dirs_dev, jnp.asarray(i0, jnp.int32),
+                      jnp.asarray(j0, jnp.int32),
+                      jnp.asarray(t0, jnp.int32))
+        ops = expand_rle_ops(np.asarray(ent).T, max_steps)
+        if ops.shape[1] < max_steps:  # replay loops index to the edge
+            ops = np.pad(ops, ((0, 0), (0, max_steps - ops.shape[1])))
+        return ops, i0, j0, t0
     ops = np.asarray(_device_walk(
         dirs_dev, jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32),
         jnp.asarray(t0, jnp.int32), max_steps=max_steps,

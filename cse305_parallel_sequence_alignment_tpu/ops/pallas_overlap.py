@@ -52,9 +52,9 @@ _BIG = 2.0 ** 24
 
 
 def _ov_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
-                       out_ref, state, fin_acc, colbest,
+                       out_ref, state, fin_acc, colbest, run_state,
                        *, m, n, nl, g, h, match, mismatch, k_steps,
-                       num_rows):
+                       num_rows, with_runs=False):
     block_b = bext_ref.shape[0]
     dblk = pl.program_id(1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
@@ -85,13 +85,20 @@ def _ov_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
         return jnp.where((c1 >= c2) & (c1 >= c3), 0,
                          jnp.where(c2 >= c3, 1, 2))
 
+    out_dtype = jnp.uint16 if with_runs else jnp.uint8
+
+    @pl.when(dblk == 0)
+    def _():
+        if with_runs:
+            run_state[...] = jnp.zeros((2, block_b, nl), jnp.int32)
+
     for u in range(k_steps):
         i = dblk * k_steps + u
 
         @pl.when((i == 0) | (i >= num_rows))
         def _(u=u):
             dirs_ref[u] = jnp.zeros((block_b, nl), jnp.int32).astype(
-                jnp.uint8)
+                out_dtype)
 
         @pl.when((i > 0) & (i < num_rows))
         def _(i=i, u=u):
@@ -113,7 +120,20 @@ def _ov_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
             d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
             packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
                 (d3 << DIR_T3_SHIFT)
-            dirs_ref[u] = packed.astype(jnp.uint8)
+            if with_runs:
+                # diagonal run lengths (rowdirs encoding: ca bits 6-7,
+                # 8-bit run at 8-15) for the RLE device walk
+                r_prev = _shift_right_zero_i(run_state[0])
+                ca_prev = _shift_right_zero_i(run_state[1])
+                is_run = d1 == 0
+                capped = r_prev >= 255
+                r_cur = jnp.where(is_run,
+                                  jnp.minimum(r_prev + 1, 255), 0)
+                ca_cur = jnp.where(is_run,
+                                   jnp.where(capped, 0, ca_prev), d1)
+                run_state[0], run_state[1] = r_cur, ca_cur
+                packed = packed | (ca_cur << 6) | (r_cur << 8)
+            dirs_ref[u] = packed.astype(out_dtype)
 
             fin_acc[...] = jnp.where(la3 == i, _pack3((t1, t2, t3)),
                                      fin_acc[...])
@@ -176,9 +196,10 @@ def _ov_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
-                     "block_b", "interpret", "k_steps"))
+                     "block_b", "interpret", "k_steps", "with_runs"))
 def _pallas_ov_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
-                       mismatch, block_b, interpret, k_steps=8):
+                       mismatch, block_b, interpret, k_steps=8,
+                       with_runs=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -186,7 +207,7 @@ def _pallas_ov_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
     kernel = functools.partial(
         _ov_rowdirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), k_steps=k_steps,
-        num_rows=num_rows)
+        num_rows=num_rows, with_runs=with_runs)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -207,13 +228,15 @@ def _pallas_ov_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl), jnp.uint8),
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, nl),
+                                 jnp.uint16 if with_runs else jnp.uint8),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((3, block_b, nl), jnp.float32),
             pltpu.VMEM((block_b, 3 * nl), jnp.float32),
             pltpu.VMEM((6, block_b, 128), jnp.float32),
+            pltpu.VMEM((2, block_b, nl), jnp.int32),
         ],
         interpret=interpret,
     )(a_pad, b_ext, la, lb)
@@ -222,7 +245,7 @@ def _pallas_ov_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
 def pallas_overlap_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                               match=1.0, mismatch=-1.0,
                               block_b=DEF_BLOCK_B, device_dirs=False,
-                              interpret=None):
+                              with_runs=False, interpret=None):
     """Batched overlap fill emitting ROW-layout packed directions.
 
     Returns (out (B, 4) [score, end_table, end_i, end_j],
@@ -247,7 +270,7 @@ def pallas_overlap_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
     lb[:B] = np.asarray(len_b, np.int32)[:, None]
     dirs, out = _pallas_ov_rowdirs(
         a_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
-        mismatch=mismatch, block_b=block_b,
+        mismatch=mismatch, block_b=block_b, with_runs=with_runs,
         interpret=_default_interpret(interpret))
     out = np.asarray(out)[:B, :4].copy()
     # degenerate pairs (empty side): the wavefront leaves its best0
