@@ -164,10 +164,10 @@ def pallas_walk_rle(dirs16, i0, j0, t0, *, R_pad, G=8, interpret=False):
         grid=(nb // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
