@@ -179,6 +179,27 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
                     emit({"mode": "global_score_device_resident",
                           "len": L, "batch": B, "gcups": round(g_, 3),
                           "method": "device-resident pipelined"})
+                    if L <= 1024 and B == max(batches):
+                        # the short-pair regime's real ceiling: the
+                        # tunnel costs ~25 ms PER DISPATCH (unhideable
+                        # by queue depth), capping len-512 batch-256 at
+                        # ~2.7 GCUPS for ANY kernel; throughput scales
+                        # with pairs per dispatch instead (measured
+                        # 10.4 GCUPS at batch 2048)
+                        Bw = 2048
+                        aw, bw, law, lbw = _rand_batch(rng, Bw, L, L)
+                        argw, metw = rowscan_prep(aw, bw, law, lbw)
+                        devw = [jnp.asarray(x) for x in argw]
+                        kww = dict(g=1.0, h=2.0, match=1.0,
+                                   mismatch=0.0, start_type=-1,
+                                   interpret=False, **metw)
+                        g2 = _pipelined_rate(
+                            lambda: _pallas_rowscan(*devw, **kww),
+                            lambda o: np.asarray(o), Bw * L * L)
+                        emit({"mode": "global_score_device_resident",
+                              "len": L, "batch": Bw,
+                              "gcups": round(g2, 3),
+                              "method": "device-resident pipelined"})
                 except Exception as e:  # noqa: BLE001
                     emit({"mode": "global_score_device_resident",
                           "len": L, "batch": B, "error": str(e)[:160]})
