@@ -275,7 +275,11 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
     # widen / expand ON DEVICE (Mosaic needs 32-bit vector inputs)
     if a_pad.dtype != jnp.int32:
         a_pad = a_pad.astype(jnp.int32)
-    if b_ext.dtype != jnp.int32:
+    if jnp.issubdtype(b_ext.dtype, jnp.integer) and b_ext.dtype != jnp.int32:
+        # widen only integer inputs (uint8 column codes / integer query
+        # profiles); a float32 substitution-matrix profile (k1 > 0) must
+        # NOT be truncated toward zero — fractional matrices are legal
+        # and already meet Mosaic's 32-bit vector requirement.
         b_ext = b_ext.astype(jnp.int32)
     if lbmask.shape[1] != nl:  # (B, 128) len_b plane (nl == 128 buckets
         # ship the real mask, so width disambiguates)

@@ -129,6 +129,33 @@ def _oracle_chain(a, b, T1, T2, T3, params):
     return list(reversed(rev))[1:], table, score
 
 
+def test_fractional_matrix_fused_vs_wavefront():
+    """The fused rowcb path must NOT truncate fractional substitution
+    scores (advisor r4 high: an unconditional int32 widening of the
+    float32 query profile silently corrupted any non-integer matrix)."""
+    rng = np.random.default_rng(74)
+    frac = SubstitutionMatrix.from_array(
+        "ACGT",
+        np.array([
+            [1.5, -0.5, -0.25, -0.5],
+            [-0.5, 1.5, -0.5, -0.25],
+            [-0.25, -0.5, 1.5, -0.5],
+            [-0.5, -0.25, -0.5, 1.5],
+        ], np.float32))
+    params = ScoringParams(g=1.0, h=2.0)
+    # backend="pallas" forces the fused rowcb path even on the CPU
+    # conftest backend (interpret mode); default gating is TPU-only
+    fused = BatchAligner(params=params, matrix=frac, parity_swap=False,
+                         backend="pallas")
+    pairs = [(rand_seq(rng, 24), rand_seq(rng, 30)) for _ in range(4)]
+    results = fused.align_batch(pairs)
+    for (a, b), res in zip(pairs, results):
+        T1, T2, T3 = oracle_tables(a, b, params, matrix=frac)
+        _, s = end_table_choice(T1[-1, -1], T2[-1, -1], T3[-1, -1],
+                                -1, params.h)
+        assert res.score == pytest.approx(s), (a, b, res.score, s)
+
+
 def test_pallas_submat_kernel_matches_wavefront_matrix():
     """Query-profile Pallas fill == XLA matrix fill (DNA + BLOSUM62)."""
     import jax.numpy as jnp
