@@ -8,8 +8,9 @@ maps to, subproblem_alignment.cpp:251-327). Extra keys carry the
 full-pipeline numbers the fill feeds: ``dirs_gcups`` (fill emitting the
 packed traceback matrix), ``e2e_pairs_per_s``/``e2e_gcups`` (fill +
 on-device walk + host render, BatchAligner.align_batch steady state),
-and ``mfu_vpu_pct`` (measured vector-op rate vs the modelled VPU peak —
-see harness/perfreport.py for the op-count model).
+and ``pct_of_latency_model`` (achieved fraction of the measured
+row-time model — harness/perfreport.roofline; the older op-count MFU
+was refuted by the round-4 ablations).
 
 Baseline = 0.0115 GCUPS, the repaired reference binary's best measured
 single-core cell-update rate (BASELINE.md: 2000x2000, p=1).
@@ -35,12 +36,6 @@ import time
 BASELINE_GCUPS = 0.0115
 WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "1500"))
 
-# Vector-op cost model for the MFU line (see VERDICT r1 item 4): the
-# rowscan kernel executes ~38 full-width VPU op passes per DP row
-# (~20 elementwise + 2 lane shifts + a 12-step prefix-max) over nl
-# lanes; VPU peak modelled as 8x128 lanes x 4 ALUs at 1.5 GHz.
-ROWSCAN_OPS_PER_ROW = 38
-VPU_PEAK_OPS = 8 * 128 * 4 * 1.5e9
 
 
 # identical kernels measure 11-32 GCUPS depending on which chip/state
@@ -104,9 +99,14 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
                        lambda o: np.asarray(o))
         score_gcups = cells / dt / 1e9
         results = {"rowscan_kernel": score_gcups}
-        extras["mfu_vpu_pct"] = round(
-            100.0 * (batch * meta["nl"] * ROWSCAN_OPS_PER_ROW * m / dt)
-            / VPU_PEAK_OPS, 1)
+        # the round-4 ablations refuted the op-count MFU model (VERDICT
+        # r4 weak 2); report achieved fraction of the surviving
+        # measured-row-time model instead (harness/perfreport.roofline)
+        from cse305_parallel_sequence_alignment_tpu.harness.perfreport \
+            import roofline
+        extras["pct_of_latency_model"] = roofline(
+            n=n, measured_gcups=score_gcups,
+            batch_block=meta["block_b"])["pct_of_latency_model"]
 
         def pipelined2(fn, sync):
             # 2-in-flight: each call's uint16 dirs output is ~2.3 GB at
@@ -247,7 +247,7 @@ def main():
                     env={"BENCH_HEADLINE_ONLY": "1"})
                 extras["value_runs"] = [round(gcups, 3), round(g2, 3)]
                 if g2 > gcups:  # keep the faster claim's derived extras
-                    for k in ("mfu_vpu_pct", "dirs_gcups"):
+                    for k in ("pct_of_latency_model", "dirs_gcups"):
                         if k in e2:
                             extras[k] = e2[k]
                     backend = b2
