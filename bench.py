@@ -80,7 +80,8 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
         from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
             import _pallas_rowscan, rowscan_prep
 
-        args, meta = rowscan_prep(a, b, la, lb)
+        # perm=True: permuted-lane layout, 1.63x (attrib3_r5, round 5)
+        args, meta = rowscan_prep(a, b, la, lb, perm=True)
         dev = [jnp.asarray(x) for x in args]
         kw = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0, start_type=-1,
                   interpret=False, **meta)

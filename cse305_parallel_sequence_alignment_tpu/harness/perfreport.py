@@ -169,7 +169,7 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
                 from cse305_parallel_sequence_alignment_tpu.ops. \
                     pallas_fill import _pallas_rowscan, rowscan_prep
                 try:
-                    args, meta = rowscan_prep(a, b, laa, lbb)
+                    args, meta = rowscan_prep(a, b, laa, lbb, perm=True)
                     dev = [jnp.asarray(x) for x in args]
                     kwr = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
                                start_type=-1, interpret=False, **meta)
@@ -188,7 +188,8 @@ def run_report(lengths=(512, 2048), batches=(64, 256), iters=3,
                         # 10.4 GCUPS at batch 2048)
                         Bw = 2048
                         aw, bw, law, lbw = _rand_batch(rng, Bw, L, L)
-                        argw, metw = rowscan_prep(aw, bw, law, lbw)
+                        argw, metw = rowscan_prep(aw, bw, law, lbw,
+                                                  perm=True)
                         devw = [jnp.asarray(x) for x in argw]
                         kww = dict(g=1.0, h=2.0, match=1.0,
                                    mismatch=0.0, start_type=-1,

@@ -32,7 +32,8 @@ from cse305_parallel_sequence_alignment_tpu.core import (
 _WALK_UNROLL = 8
 
 
-def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout):
+def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout,
+               perm_tn=0):
     """Traceable walk body: returns ops as (steps_pad, B) uint8 with
     steps_pad = max_steps rounded up to the unroll. Each entry is 1 +
     the visited cell's 2-bit code for the current table (0 = step not
@@ -69,6 +70,8 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout):
             r, c = i, j
         else:  # ("band", w_lo): dirs[i, j - i + w_lo]
             r, c = i, j - i + layout[1]
+        if perm_tn:  # permuted-lane fills (row layout only)
+            c = (c % perm_tn) * 128 + c // perm_tn
         if pair_axis == 0:  # (B, rows, nl) wavefront layout
             byte = dirs[bidx, r, c].astype(jnp.int32)
         else:               # (rows, B, nl) pallas layout
@@ -111,7 +114,8 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout):
     return ops
 
 
-def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1):
+def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
+                   perm_tn=0):
     """Run-length walk over the ``with_runs`` uint16 row-layout dirs
     (ops/pallas_fill.py _rowdirs_kernel): one dependent gather consumes
     a WHOLE diagonal run.
@@ -147,6 +151,10 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1):
         # gathers never index out of range
         r = jnp.clip(i, 0, nrows - 1)
         c = jnp.clip(j, 0, ncols - 1)
+        if perm_tn:
+            # permuted-lane fills: column j lives at flat position
+            # (j % Tn) * 128 + j // Tn (pallas_fill._perm_maps)
+            c = (c % perm_tn) * 128 + c // perm_tn
         if pair_axis == 0:
             word = dirs16[bidx, r, c].astype(jnp.int32)
         else:
@@ -221,16 +229,18 @@ def expand_rle_ops(entries, max_steps):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("max_steps", "pair_axis", "layout"))
+    static_argnames=("max_steps", "pair_axis", "layout", "perm_tn"))
 def _device_walk(dirs, i0, j0, t0, *, max_steps, pair_axis,
-                 layout="skew"):
+                 layout="skew", perm_tn=0):
     """(B, max_steps) uint8 walk ops — see _walk_core."""
     ops = _walk_core(dirs, i0, j0, t0, max_steps=max_steps,
-                     pair_axis=pair_axis, layout=layout)
+                     pair_axis=pair_axis, layout=layout,
+                     perm_tn=perm_tn)
     return ops.T[:, :max_steps]
 
 
-def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew"):
+def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew",
+              perm_tn=0):
     import jax
     import jax.numpy as jnp
 
@@ -243,7 +253,8 @@ def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew"):
         # dependent gather round (~0.25 ms each at B=128), expanded
         # host-side to the identical per-step op stream
         walk = jax.jit(functools.partial(
-            _walk_core_rle, max_steps=max_steps, pair_axis=pair_axis))
+            _walk_core_rle, max_steps=max_steps, pair_axis=pair_axis,
+            perm_tn=perm_tn))
         ent, _ = walk(dirs_dev, jnp.asarray(i0, jnp.int32),
                       jnp.asarray(j0, jnp.int32),
                       jnp.asarray(t0, jnp.int32))
@@ -254,13 +265,13 @@ def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew"):
     ops = np.asarray(_device_walk(
         dirs_dev, jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32),
         jnp.asarray(t0, jnp.int32), max_steps=max_steps,
-        pair_axis=pair_axis, layout=layout))
+        pair_axis=pair_axis, layout=layout, perm_tn=perm_tn))
     return ops, i0, j0, t0
 
 
 def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
                       offsets=None, chunk=None, pair_axis=1,
-                      layout="skew"):
+                      layout="skew", perm_tn=0):
     """Global-mode chains for every pair, walking on-device.
 
     Args:
@@ -275,7 +286,8 @@ def walk_batch_device(dirs_dev, la, lb, tables, mode="parity",
     Returns: list of chains (list of (i, j, t) tuples, quirk B2 zeros).
     """
     ops, la, lb, tables = _run_walk(dirs_dev, la, lb, tables,
-                                    pair_axis=pair_axis, layout=layout)
+                                    pair_axis=pair_axis, layout=layout,
+                                    perm_tn=perm_tn)
     tt, ii, jj, lens = replay_ops(ops, la, lb, tables, mode=mode,
                                   offsets=offsets, chunk=chunk)
     return [list(zip(ii[r, : lens[r]].tolist(),

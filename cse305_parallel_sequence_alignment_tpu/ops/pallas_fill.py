@@ -419,6 +419,86 @@ def _lane_prefix_max(x, nl):
     return x
 
 
+# ---------------------------------------------------------------------------
+# Permuted-lane layout (round 5). attrib2_r5 measured that the 7
+# sub-128-lane shift-max sweeps of the in-kernel prefix-max cost ~45% of
+# the whole rowscan row (removing ONLY them: 0.52-0.60x row time) while
+# vreg-ALIGNED (>=128) sweeps are nearly free — unaligned lane shifts
+# are the expensive Mosaic op class, not op count per se. So the row
+# kernels lay DP column j at flat lane position p = T*128 + L with
+# j = L*Tn + T (Tn = nl/128 tiles):
+#   * shift-by-1 in j == one 128-aligned wide concat + a 1-lane shift of
+#     ONE narrow (bb, 128) tile;
+#   * prefix-max over j == aligned doubling over tiles (within-lane,
+#     ~free) + a lane scan of the narrow per-lane-totals tile + a
+#     tile-broadcast combine.
+# Cell-exact vs the linear layout (finals identical; dirs identical
+# after column unpermutation) and measured 1.63-1.69x on the 2 kb x 256
+# headline (60-64 vs 37-38 GCUPS, scripts/probes/attrib3_r5_results
+# .jsonl). b_ext / lbmask arrive host-permuted (rowscan_prep perm=True);
+# jj comes from iota math so every boundary mask stays correct.
+# ---------------------------------------------------------------------------
+
+
+def _perm_maps(nl):
+    """(j_of_p, pos_of_j) index maps for the permuted lane layout."""
+    Tn = nl // 128
+    p = np.arange(nl)
+    j_of_p = (p % 128) * Tn + p // 128
+    pos_of_j = np.empty(nl, np.int64)
+    pos_of_j[j_of_p] = p
+    return j_of_p, pos_of_j
+
+
+def _jj_perm(block_b, nl):
+    """(block_b, nl) int32 column index j at each flat lane position."""
+    Tn = nl // 128
+    p = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    return (p % 128) * Tn + p // 128
+
+
+def _shift_right_perm(x, nl, fill):
+    """Column j-1's value at column j's position (permuted layout).
+
+    Positions with tile T>0 take from (T-1, L) — the 128-aligned
+    prefix of x — and tile 0 takes from (Tn-1, L-1): the last tile
+    lane-shifted by one (an 8-vreg narrow op instead of a full-width
+    unaligned shift)."""
+    Tn = nl // 128
+    last = x[..., (Tn - 1) * 128:]
+    f = jnp.full(last.shape[:-1] + (1,), fill, x.dtype)
+    fix0 = jnp.concatenate([f, last[..., :-1]], axis=-1)
+    return jnp.concatenate([fix0, x[..., : (Tn - 1) * 128]], axis=-1)
+
+
+def _lane_prefix_max_perm(x, nl):
+    """Inclusive prefix max over columns j in the permuted layout.
+
+    Aligned doubling over tiles gives each position the max over
+    T' <= T at its lane (within-lane prefix); the last tile then holds
+    per-lane totals, whose EXCLUSIVE narrow lane scan is broadcast back
+    across tiles. Total: log2(Tn) aligned wide sweeps + ~8 narrow
+    (bb, 128) ops + one wide combine — no unaligned wide ops."""
+    Tn = nl // 128
+    neg_inf = jnp.float32(NEG_INF)
+    s = 128
+    while s < nl:
+        x = jnp.maximum(x, jnp.concatenate(
+            [_neg(x.shape[:-1] + (s,)), x[..., :-s]], axis=-1))
+        s *= 2
+    tot = x[..., (Tn - 1) * 128:]
+    e = jnp.concatenate(
+        [jnp.full(tot.shape[:-1] + (1,), neg_inf), tot[..., :-1]],
+        axis=-1)
+    s = 1
+    while s < 128:
+        e = jnp.maximum(e, jnp.concatenate(
+            [jnp.full(e.shape[:-1] + (s,), neg_inf), e[..., :-s]],
+            axis=-1))
+        s *= 2
+    return jnp.maximum(x, jnp.concatenate([e] * Tn, axis=-1))
+
+
 def _shift_right_zero_i(x):
     """Lane shift right on int32, filling 0."""
     return jnp.concatenate(
@@ -428,7 +508,7 @@ def _shift_right_zero_i(x):
 def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                     dirs_ref, fin_ref, state, fin_acc, run_state,
                     *, m, n, nl, g, h, match, mismatch,
-                    k_steps, num_rows, with_runs=False):
+                    k_steps, num_rows, with_runs=False, perm=False):
     """Row-sweep fill emitting ROW-layout packed directions.
 
     Same mathematics as ``_rowscan_kernel`` plus per-row direction
@@ -461,7 +541,18 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     """
     block_b = bext_ref.shape[0]
     dblk = pl.program_id(1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    if perm:
+        jj = _jj_perm(block_b, nl)
+        shift_neg = lambda x: _shift_right_perm(  # noqa: E731
+            x, nl, jnp.float32(NEG_INF))
+        shift_zero_i = lambda x: _shift_right_perm(  # noqa: E731
+            x, nl, jnp.int32(0))
+        lane_pm = lambda x, _nl: _lane_prefix_max_perm(x, nl)  # noqa: E731
+    else:
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+        shift_neg = _shift_right_neg
+        shift_zero_i = _shift_right_zero_i
+        lane_pm = _lane_prefix_max
     b_ext = bext_ref[...]
     lbmask = lbmask_ref[...] != 0
     lbmask3 = jnp.concatenate([lbmask] * 3, axis=-1)
@@ -522,28 +613,28 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
             fb = jnp.where(b_ext == a_col, jnp.float32(match),
                            jnp.float32(mismatch))
             mp12 = jnp.maximum(p1, p2)
-            t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+            t1 = fb + shift_neg(jnp.maximum(mp12, p3))
             t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
             i_f = jnp.float32(1.0) * i
             col0_3 = jnp.where(stc == -3, -gf * i_f,
                                jnp.where(st_is12, neg_inf,
                                          -hf - gf * i_f))
             t3 = jnp.where(lane0, col0_3, t3)
-            m13 = _shift_right_neg(jnp.maximum(t1, t3))
-            pm = _lane_prefix_max(jgc + m13, nl)
+            m13 = shift_neg(jnp.maximum(t1, t3))
+            pm = lane_pm(jgc + m13, nl)
             t2 = pm - jg
 
             # d1: prev row at j-1, plain tie order T1>=T2>=T3
-            d1 = _shift_right_zero_i(argmax3(p1, p2, p3))
+            d1 = shift_zero_i(argmax3(p1, p2, p3))
             # d3: prev row at j, costs offset by the shared -g-h
             d3 = argmax3(p1, p2, p3 + hf)
             # d2: current row at j-1 (open-from-T1, extend, open-from-T3)
-            d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
+            d2 = shift_zero_i(argmax3(t1 - hf, t2, t3 - hf))
             packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
                 (d3 << DIR_T3_SHIFT)
             if with_runs:
-                r_prev = _shift_right_zero_i(run_state[0])
-                ca_prev = _shift_right_zero_i(run_state[1])
+                r_prev = shift_zero_i(run_state[0])
+                ca_prev = shift_zero_i(run_state[1])
                 is_run = d1 == 0
                 capped = r_prev >= 255
                 r_cur = jnp.where(is_run,
@@ -570,10 +661,10 @@ def _rowdirs_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret", "k_steps",
-                     "with_runs"))
+                     "with_runs", "perm"))
 def _pallas_rowdirs(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
                     match, mismatch, block_b, interpret, k_steps=8,
-                    with_runs=False):
+                    with_runs=False, perm=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -582,7 +673,7 @@ def _pallas_rowdirs(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
         _rowdirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
         k_steps=k_steps, num_rows=num_rows,
-        with_runs=with_runs)
+        with_runs=with_runs, perm=perm)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -658,7 +749,7 @@ def pallas_rowdirs_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
 
 def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
                     *, m, n, nl, g, h, match, mismatch, start_type,
-                    unroll=4, uniform_la=False):
+                    unroll=4, uniform_la=False, perm=False):
     """Row-sweep score kernel: m steps of (block_b, nl) work with the
     prefix-max T2 linearization (reference P2) done in-kernel by
     log-shift sweeps. Unlike the diagonal kernel there is no wavefront
@@ -669,9 +760,21 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
     ``uniform_la``: every pair's len_a equals m (the bucketed-batch
     common case), so the per-row running capture (a 3*nl pack + select
     each row) is skipped entirely and row m's state is read once after
-    the loop."""
+    the loop.
+
+    ``perm``: permuted lane layout (see _perm_maps) — b_ext/lbmask must
+    arrive column-permuted (rowscan_prep perm=True). Cell-exact,
+    measured 1.63-1.69x on the 2 kb headline."""
     block_b = bext_ref.shape[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    if perm:
+        jj = _jj_perm(block_b, nl)
+        shift_neg = lambda x: _shift_right_perm(  # noqa: E731
+            x, nl, jnp.float32(NEG_INF))
+        lane_pm = lambda x: _lane_prefix_max_perm(x, nl)  # noqa: E731
+    else:
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+        shift_neg = _shift_right_neg
+        lane_pm = lambda x: _lane_prefix_max(x, nl)  # noqa: E731
     b_ext = bext_ref[...]
     lbmask = lbmask_ref[...] != 0
     la_col = la_ref[:, 0:1]
@@ -701,13 +804,13 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
         # max of shifts == shift of max (same -inf fill): one lane shift
         # instead of three, and T3's triple as two maxes.
         mp12 = jnp.maximum(p1, p2)
-        t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+        t1 = fb + shift_neg(jnp.maximum(mp12, p3))
         t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
         t1 = jnp.where(lane0, neg_inf, t1)
         t3 = jnp.where(lane0, _col0_t3(i, gf, hf, start_type), t3)
-        m13 = _shift_right_neg(jnp.maximum(t1, t3))
+        m13 = shift_neg(jnp.maximum(t1, t3))
         omega = jg + m13 - gf - hf  # lane 0: -inf (T2 col-0 boundary)
-        pm = _lane_prefix_max(omega, nl)
+        pm = lane_pm(omega)
         t2 = jnp.where(lane0, neg_inf, pm - jg)
         return (t1, t2, t3)
 
@@ -759,16 +862,17 @@ def _rowscan_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "start_type", "block_b", "interpret", "uniform_la",
-                     "unroll"))
+                     "unroll", "perm"))
 def _pallas_rowscan(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
                     mismatch, start_type, block_b, interpret,
-                    uniform_la=False, unroll=4):
+                    uniform_la=False, unroll=4, perm=False):
     B = a_pad.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
         _rowscan_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch),
-        start_type=start_type, uniform_la=uniform_la, unroll=unroll)
+        start_type=start_type, uniform_la=uniform_la, unroll=unroll,
+        perm=perm)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -902,10 +1006,11 @@ def _rowscan2_kernel(a_ref, bext_ref, lbmask_ref, la_ref, out_ref,
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "start_type", "block_b", "interpret", "uniform_la",
-                     "unroll"))
+                     "unroll", "perm"))
 def _pallas_rowscan2(a_pad, b_ext, lbmask, la, *, m, n, nl, g, h, match,
                      mismatch, start_type, block_b, interpret,
-                     uniform_la=False, unroll=4):
+                     uniform_la=False, unroll=4, perm=False):
+    assert not perm, "rowscan2 has no permuted-layout variant"
     B = a_pad.shape[0]
     grid = (B // block_b,)
     kernel = functools.partial(
@@ -948,13 +1053,14 @@ def pallas_rowscan2_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
 
 
 def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B,
-                 carries=7):
+                 carries=7, perm=False):
     """Host-side packing for the rowscan kernels: returns
-    ((a_pad, b_ext, lbmask, la), dict(m, n, nl, block_b, uniform_la)).
-    Split out so callers that re-dispatch on resident inputs (bench,
-    streaming) pay the packing and upload once. ``carries``: VMEM-fit
-    constant — 7 nl-wide carries for the score kernel, 13 for the
-    rowdirs kernel."""
+    ((a_pad, b_ext, lbmask, la), dict(m, n, nl, block_b, uniform_la,
+    perm)). Split out so callers that re-dispatch on resident inputs
+    (bench, streaming) pay the packing and upload once. ``carries``:
+    VMEM-fit constant — 7 nl-wide carries for the score kernel, 13 for
+    the rowdirs kernel. ``perm``: permute b_ext/lbmask columns into the
+    fast lane layout (pair with the kernels' perm=True)."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -970,19 +1076,30 @@ def rowscan_prep(a_enc, b_enc, len_a, len_b, block_b=DEF_BLOCK_B,
     b_ext[:B, 1: n + 1] = b_enc
     lbmask = np.zeros((Bp, nl), np.int32)
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    perm = bool(perm) and nl > 128
+    if perm:
+        j_of_p, _ = _perm_maps(nl)
+        b_ext = np.ascontiguousarray(b_ext[:, j_of_p])
+        lbmask = np.ascontiguousarray(lbmask[:, j_of_p])
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     uniform_la = m >= 1 and bool(np.all(np.asarray(len_a) == m))
-    meta = dict(m=m, n=n, nl=nl, block_b=block_b, uniform_la=uniform_la)
+    meta = dict(m=m, n=n, nl=nl, block_b=block_b, uniform_la=uniform_la,
+                perm=perm)
     return (a_pad, b_ext, lbmask, la), meta
 
 
 def pallas_rowscan_score_batch(a_enc, b_enc, len_a, len_b, g=1.0, h=2.0,
                                match=1.0, mismatch=0.0, start_type=-1,
-                               block_b=DEF_BLOCK_B, interpret=None):
-    """Batched score-only row-sweep fill. Returns (B, 3) finals."""
+                               block_b=DEF_BLOCK_B, interpret=None,
+                               perm=True):
+    """Batched score-only row-sweep fill. Returns (B, 3) finals.
+
+    ``perm``: permuted lane layout (default — 1.63x on hardware,
+    attrib3_r5_results.jsonl); finals are layout-independent."""
     B = np.asarray(a_enc).shape[0]
-    args, meta = rowscan_prep(a_enc, b_enc, len_a, len_b, block_b)
+    args, meta = rowscan_prep(a_enc, b_enc, len_a, len_b, block_b,
+                              perm=perm)
     out = _pallas_rowscan(
         *args, g=g, h=h, match=match, mismatch=mismatch,
         start_type=start_type, interpret=_default_interpret(interpret),

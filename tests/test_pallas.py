@@ -274,6 +274,67 @@ def test_rowdirs_with_runs_rle_walk_equivalence():
     assert int(used) >= 1
 
 
+def test_rowdirs_perm_layout_equivalence():
+    """Permuted-lane rowdirs: finals identical, dirs equal after column
+    unpermutation, and the perm-aware RLE walk emits the same entry
+    stream (round 5 — the 1.63x layout, attrib3_r5_results.jsonl)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        _end_choice_vec,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
+        _walk_core_rle,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _default_interpret,
+        _pallas_rowdirs,
+        _perm_maps,
+        rowscan_prep,
+    )
+
+    rng = np.random.default_rng(43)
+    B, bm, bn = 5, 60, 200  # nl = 256 -> Tn = 2 (perm is a real perm)
+    a = np.full((B, bm), PAD_A, np.uint8)
+    b = np.full((B, bn), PAD_B, np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for k in range(B):
+        la[k] = int(rng.integers(1, bm + 1))
+        lb[k] = int(rng.integers(1, bn + 1))
+        a[k, : la[k]] = rng.integers(65, 69, la[k])
+        b[k, : lb[k]] = rng.integers(65, 69, lb[k])
+    kw = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
+              interpret=_default_interpret(None))
+    args, meta = rowscan_prep(a, b, la, lb, carries=17)
+    argsp, metap = rowscan_prep(a, b, la, lb, carries=17, perm=True)
+    assert metap["perm"] is True
+    meta.pop("uniform_la", None)
+    metap.pop("uniform_la", None)
+    st = np.full((args[0].shape[0], 128), -1, np.int32)
+    d16, fin = _pallas_rowdirs(*args[:4], st, with_runs=True, **kw,
+                               **meta)
+    d16p, finp = _pallas_rowdirs(*argsp[:4], st, with_runs=True, **kw,
+                                 **metap)
+    assert np.array_equal(np.asarray(fin), np.asarray(finp))
+    _, pos_of_j = _perm_maps(meta["nl"])
+    assert np.array_equal(np.asarray(d16p)[:, :, pos_of_j],
+                          np.asarray(d16))
+    tables, _ = _end_choice_vec(np.asarray(fin)[:B, :3], -1, 2.0)
+    max_steps = int(la.max() + lb.max()) + 1
+    ent, _ = jax.jit(lambda d, i, j, t: _walk_core_rle(
+        d, i, j, t, max_steps=max_steps))(
+        jnp.asarray(d16), jnp.asarray(la), jnp.asarray(lb),
+        jnp.asarray(tables))
+    entp, _ = jax.jit(lambda d, i, j, t: _walk_core_rle(
+        d, i, j, t, max_steps=max_steps,
+        perm_tn=meta["nl"] // 128))(
+        jnp.asarray(d16p), jnp.asarray(la), jnp.asarray(lb),
+        jnp.asarray(tables))
+    assert np.array_equal(np.asarray(ent), np.asarray(entp))
+
+
 @pytest.mark.parametrize("start", [-1, -2, -3, 1, 2, 3])
 def test_pallas_rowscan2_matches_rowscan(start):
     """2-carry (H, T3) kernel is cell-identical to the 3-carry one."""
