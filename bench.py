@@ -129,7 +129,8 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
             # dispatches it (models/batch.py _fused_fill_walk)
             from cse305_parallel_sequence_alignment_tpu.ops. \
                 pallas_rowcb import _pallas_rowcb, rowcb_prep
-            args_cb, meta_cb = rowcb_prep(a, b, la, lb, carries=11)
+            args_cb, meta_cb = rowcb_prep(a, b, la, lb, carries=11,
+                                          perm=True)
             dev_cb = [jnp.asarray(x) for x in args_cb]
             ckw = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
                        interpret=False, k_steps=2, **meta_cb)

@@ -17,54 +17,47 @@ import numpy as np
 from cse305_parallel_sequence_alignment_tpu.utils.observability import gcups
 
 # ---------------------------------------------------------------------------
-# Roofline model for the headline score fill — REVISED in round 4 by
-# direct ablation (VERDICT r3 item 2 asked for >=1.4x or "a written,
-# measured refutation that revises the model floor"). The round-2/3
-# model counted ~38 VPU passes/row with a ~20-pass floor and predicted
-# ~2x headroom from pass elimination. Measured on the v5e (same-process
-# interleaved against a pinned kernel; scripts/probes/ab_rowscan2_r4.py,
-# halostair_r4.py, ab_unroll_r4.py):
+# Roofline model for the headline score fill — REVISED AGAIN in round 5.
+# The round-4 "dependent-chain latency floor, kernel at its ceiling"
+# model is refuted by the round-5 attribution probes
+# (scripts/probes/attrib_r5.py / attrib2_r5.py / attrib3_r5.py, all
+# same-process interleaved A/Bs on the v5e at 2 kb x 256):
 #
-#   * 2-carry (H, T3) reformulation, -7 of ~34 passes/row:  +0%
-#     (32.8/32.1/33.5 vs pin 31.7/32.5/33.6 over 3 rounds)
-#   * ENTIRE 12-sweep prefix-max removed (-24 ops, ~60% of nominal
-#     passes; wrong math, perf probe only):                 +14%
-#     (42.35 vs pin 37.2; 36.09 vs pin 30.98)
-#   * fori_loop unroll 4 -> 8 -> 16 -> 32:                  +0%
-#     (ratios 1.01 / 1.00 / 1.01 / 1.00 vs pin)
+#   * removing ONLY the prefix-max:                0.54-0.70x row time
+#     (round 4 recorded +14% for this; wrong — it is 30-46% of the row)
+#   * removing ONLY the 7 sub-128-lane sweeps:     0.52-0.60x
+#     (the >=128-stride vreg-ALIGNED sweeps are nearly free)
+#   * removing the two unaligned shift-by-1 ops:   0.90x
+#   * per-row char extraction:                     ~0.95x
+#   * raw K<=16 dependent maxes per row:           ~4 us/row flat
+#   * K=32 INDEPENDENT wide ops:                   ~1 vreg/cycle
 #
-# Conclusion: the kernel's ~4,100-cycle row time is ~85% INSENSITIVE to
-# vector-op count — the pass-count model is refuted. The binding
-# resource is the dependent chain per row (each op's result must round-
-# trip VMEM before its successor in the t1 -> m13 -> omega -> prefmax^12
-# -> t2 -> H chain; ~17 serial steps x O(200)-cycle latency matches the
-# floor), not op issue or ALU throughput. Achievable ceiling for this
-# algorithm family on one v5e core: ~1.15x the current kernel =
-# 35-42 GCUPS on a fast claim (lottery 25-37), reachable ONLY by
-# shortening or overlapping the per-row dependency chain, not by
-# removing ops. The overlap route was ALSO tested and refuted: a
-# dual-stream kernel interleaving two INDEPENDENT batch blocks
-# (scripts/probes/dual_halostair_r4.py) measured 38.6-39.5 vs pin
-# 39.1-40.3 — ratio 1.0 across three configs, cell-exact. With op
-# count, unroll, and cross-stream overlap all flat, the kernel is AT
-# its ceiling for this algorithm family on this hardware; the fast-
-# claim ceiling observed is ~37-40 GCUPS and the honest per-chip
-# number is the 25-40 lottery band.
+# Conclusion: the binding resource was the UNALIGNED-LANE-OP class
+# (sub-128 shifts lower to per-vreg rotate+merge chains), not op count,
+# not a per-row latency floor. The permuted lane layout (column j at
+# flat position (j%Tn)*128 + j//Tn; ops/pallas_fill.py _perm_maps)
+# removes every unaligned wide op and measured 59-65 GCUPS vs 33-38
+# same-process (1.7-1.9x) — cell-exact. The model below prices a
+# (batch_block, nl) row at ROW_US_PER_BLOCKROW (measured 2.05-2.15 us
+# for the perm kernel at nl 2176, block 64 on fast claims); the
+# remaining gap to the 4-ALU issue peak is ~2.5x (dependent-chain
+# scheduling), and the chip lottery still spans ~2x run to run.
 # ---------------------------------------------------------------------------
-ROWSCAN_PASSES_PER_ROW = 38        # kept for the MFU accounting line
-ROWSCAN_ROW_CYCLES = 4100          # measured floor at nl = 2176
+ROWSCAN_PASSES_PER_ROW = 40        # perm kernel: wide + narrow passes
+PERM_ROW_US_PER_BLOCKROW = 2.1e-6  # measured, nl 2176 / block_b 64
 VPU_ALU_PEAK = 8 * 128 * 4 * 1.5e9
 VPU_ISSUE_PEAK_LO = 8 * 128 * 0.94e9
 VPU_ISSUE_PEAK_HI = 8 * 128 * 1.5e9
 
 
 def roofline(n=2048, measured_gcups=None, batch_block=64):
-    """The headline fill's ceilings under the round-4 latency model."""
+    """The headline fill's ceilings under the round-5 measured model."""
     nl = -(-(n + 1) // 128) * 128
     ops_per_cell = ROWSCAN_PASSES_PER_ROW * nl / n
-    # latency model: a batch block of `batch_block` pairs advances one
-    # row per ROWSCAN_ROW_CYCLES regardless of op count
-    lat_ceiling = batch_block * n * 0.94e9 / ROWSCAN_ROW_CYCLES / 1e9
+    # measured-row model: a (batch_block, nl) block row costs
+    # PERM_ROW_US_PER_BLOCKROW on a fast claim (scales ~ nl/2176)
+    row_us = PERM_ROW_US_PER_BLOCKROW * nl / 2176.0
+    lat_ceiling = batch_block * n / row_us / 1e9
     out = {
         "ops_per_cell": round(ops_per_cell, 1),
         "alu_peak_gcups": round(VPU_ALU_PEAK / ops_per_cell / 1e9, 1),
@@ -72,8 +65,9 @@ def roofline(n=2048, measured_gcups=None, batch_block=64):
             round(VPU_ISSUE_PEAK_LO / ops_per_cell / 1e9, 1),
             round(VPU_ISSUE_PEAK_HI / ops_per_cell / 1e9, 1)],
         "latency_model_gcups": round(lat_ceiling, 1),
-        "model": "row-latency (round-4 ablation); op-count model "
-                 "refuted — see module docstring",
+        "model": "measured perm-row time (round-5 attribution); the "
+                 "round-4 latency-floor model is refuted — see module "
+                 "docstring",
     }
     if measured_gcups:
         out["measured_gcups"] = measured_gcups

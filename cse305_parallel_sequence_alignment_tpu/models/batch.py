@@ -64,10 +64,11 @@ def _encode_many(seqs):
     jax.jit,
     static_argnames=("m", "n", "nl", "block_b", "g", "h", "match",
                      "mismatch", "B", "max_steps", "k_steps",
-                     "interpret", "k1"))
+                     "interpret", "k1", "perm"))
 def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
                      *, m, n, nl, block_b, g, h, match, mismatch, B,
-                     max_steps, k_steps=8, interpret=False, k1=0):
+                     max_steps, k_steps=8, interpret=False, k1=0,
+                     perm=False):
     """One XLA program: rowdirs Pallas fill (with diagonal-run lengths)
     -> end-table choice -> on-device RLE walk. Dispatch latency (~25 ms
     through the evaluation tunnel) halves vs separate fill/walk
@@ -87,7 +88,7 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
         a_pad, b_ext, lbmask, la_t, st_t, m=m, n=n, nl=nl, g=g, h=h,
         match=match, mismatch=mismatch, k_steps=k_steps,
         block_b=block_b, interpret=interpret, want_dirs=True,
-        with_runs=True, k1=k1)
+        with_runs=True, k1=k1, perm=perm)
     finals = fin[:B, :3]
     # end-table choice, per-pair dynamic end type (tie order
     # T1 >= T2 >= T3, gap-open refund for forced-into-gap ends)
@@ -110,7 +111,8 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
     # not DMA latency, so interleaving G chains doesn't amortize it) —
     # it stays available as an experimental backend, XLA is default.
     entries, used = _walk_core_rle(dirs16, la_v, lb_v, tb,
-                                   max_steps=max_steps, pair_axis=1)
+                                   max_steps=max_steps, pair_axis=1,
+                                   perm_cb=perm)
     # capped prefix ships WITH the scores in one host transfer; the
     # full buffer stays on device for the rare used > cap overflow
     cap = min(entries.shape[0], max(256, max_steps // 16))
@@ -510,11 +512,11 @@ class BatchAligner:
                 pallas_rowcb import rowcb_mat_prep
             args, meta = rowcb_mat_prep(
                 a, b, la, lb, self.matrix.table(), self.start_type,
-                carries=11)
+                carries=11, perm=True)
             k1 = meta.pop("k1")
         else:
             args, meta = rowcb_prep(a, b, la, lb, self.start_type,
-                                    carries=11)
+                                    carries=11, perm=True)
             k1 = 0
         B = la.shape[0]
         args, st_t = args[:4], args[4]
@@ -531,7 +533,8 @@ class BatchAligner:
             m=meta["m"], n=meta["n"], nl=meta["nl"],
             block_b=meta["block_b"], g=g, h=h, match=match,
             mismatch=mismatch, B=B, max_steps=max_steps,
-            k_steps=2, interpret=_default_interpret(None), k1=k1)
+            k_steps=2, interpret=_default_interpret(None), k1=k1,
+            perm=meta["perm"])
         # start device->host copies NOW: by collect time (the pipeline
         # dispatches the next chunk first) the bytes are host-side and
         # the fetch costs ~0 round trips

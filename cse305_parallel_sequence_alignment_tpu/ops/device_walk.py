@@ -33,7 +33,7 @@ _WALK_UNROLL = 8
 
 
 def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout,
-               perm_tn=0):
+               perm_tn=0, perm_cb=False):
     """Traceable walk body: returns ops as (steps_pad, B) uint8 with
     steps_pad = max_steps rounded up to the unroll. Each entry is 1 +
     the visited cell's 2-bit code for the current table (0 = step not
@@ -72,6 +72,13 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout,
             r, c = i, j - i + layout[1]
         if perm_tn:  # permuted-lane fills (row layout only)
             c = (c % perm_tn) * 128 + c // perm_tn
+        elif perm_cb:  # rowcb within-block permutation
+            ncols = dirs.shape[2]  # nl is last in both row layouts
+            s_blk = (c // 1024) * 1024
+            tn = jnp.minimum(1024, ncols - s_blk) // 128
+            q = c - s_blk
+            c = jnp.where(tn > 1,
+                          s_blk + (q % tn) * 128 + q // tn, c)
         if pair_axis == 0:  # (B, rows, nl) wavefront layout
             byte = dirs[bidx, r, c].astype(jnp.int32)
         else:               # (rows, B, nl) pallas layout
@@ -115,7 +122,7 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout,
 
 
 def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
-                   perm_tn=0):
+                   perm_tn=0, perm_cb=False):
     """Run-length walk over the ``with_runs`` uint16 row-layout dirs
     (ops/pallas_fill.py _rowdirs_kernel): one dependent gather consumes
     a WHOLE diagonal run.
@@ -155,6 +162,13 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
             # permuted-lane fills: column j lives at flat position
             # (j % Tn) * 128 + j // Tn (pallas_fill._perm_maps)
             c = (c % perm_tn) * 128 + c // perm_tn
+        elif perm_cb:
+            # rowcb within-block permutation (pallas_rowcb CB blocks)
+            s_blk = (c // 1024) * 1024
+            tn = jnp.minimum(1024, ncols - s_blk) // 128
+            q = c - s_blk
+            c = jnp.where(tn > 1,
+                          s_blk + (q % tn) * 128 + q // tn, c)
         if pair_axis == 0:
             word = dirs16[bidx, r, c].astype(jnp.int32)
         else:

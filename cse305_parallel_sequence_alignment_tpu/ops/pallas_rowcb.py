@@ -44,6 +44,7 @@ from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
     _default_interpret,
     _emit_row,
     _fit_block_b,
+    _lane_prefix_max_perm,
     _neg,
 )
 from cse305_parallel_sequence_alignment_tpu.ops.wavefront import PAD_A, PAD_B
@@ -77,6 +78,41 @@ def _pf(win, col):
     return jnp.concatenate([col, win[:, :-1]], axis=-1)
 
 
+def _pf_perm(win, col, w):
+    """Column shift right by one in the within-block permuted layout
+    (local column jl at flat position (jl % tn)*128 + jl // tn),
+    injecting ``col`` at local column 0. One 128-aligned wide concat +
+    one narrow op instead of an unaligned full-width lane shift (the
+    expensive Mosaic op class — attrib2_r5)."""
+    tn = w // 128
+    last = win[:, (tn - 1) * 128:]
+    fix0 = jnp.concatenate([col.astype(win.dtype), last[:, :-1]],
+                           axis=-1)
+    return jnp.concatenate([fix0, win[:, : (tn - 1) * 128]], axis=-1)
+
+
+def _perm_cols_cb(x, nl, ncols=None):
+    """Host-side within-block column permutation for the rowcb layout:
+    flat position q of block (s, w) holds column s + (q%128)*tn + q//128
+    (tn = w/128). ``ncols``: permute only the first ncols columns (the
+    k1 profile repeats the pattern per plane)."""
+    x = np.asarray(x)
+    out = x.copy()
+    base = 0
+    total = x.shape[-1] if ncols is None else ncols
+    while base < x.shape[-1]:
+        for (s, w) in _blocks(total):
+            tn = w // 128
+            if tn <= 1:
+                continue
+            q = np.arange(w)
+            j_of_q = (q % 128) * tn + q // 128
+            out[..., base + s: base + s + w] = \
+                x[..., base + s + j_of_q]
+        base += total
+    return out
+
+
 def _last(x):
     """(block_b, 1) copy of x's last lane.
 
@@ -90,7 +126,7 @@ def _last(x):
 def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                   dirs_ref, fin_ref, state, fin_acc, run_state,
                   *, m, n, nl, g, h, match, mismatch, k_steps, num_rows,
-                  want_dirs, with_runs, k1=0):
+                  want_dirs, with_runs, k1=0, perm=False):
     """``k1 == 0``: match/mismatch scoring against ``bext_ref`` column
     codes. ``k1 > 0``: substitution-matrix mode — ``bext_ref`` is the
     pre-gathered query profile (block_b, k1*nl) with
@@ -114,8 +150,23 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     out_dtype = jnp.uint16 if with_runs else jnp.uint8
 
     def jg_of(s, w):
-        jjb = jax.lax.broadcasted_iota(jnp.int32, (block_b, w), 1) + s
+        p = jax.lax.broadcasted_iota(jnp.int32, (block_b, w), 1)
+        if perm and w > 128:
+            tn = w // 128
+            jjb = (p % 128) * tn + p // 128 + s
+        else:
+            jjb = p + s
         return jjb, gf * jjb.astype(jnp.float32)
+
+    def pf_of(w):
+        if perm and w > 128:
+            return lambda win, col: _pf_perm(win, col, w)
+        return _pf
+
+    def lpm_of(w):
+        if perm and w > 128:
+            return lambda x: _lane_prefix_max_perm(x, w)
+        return lambda x: _lane_pm(x, w)
 
     @pl.when(dblk == 0)
     def _():
@@ -175,6 +226,8 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
             for bi, (s, w) in enumerate(blocks):
                 sl = pl.ds(s, w)
                 jjb, jg = jg_of(s, w)
+                pf = pf_of(w)
+                lpm = lpm_of(w)
                 lane0 = jjb == 0
                 p1 = state[0, :, sl]
                 p2 = state[1, :, sl]
@@ -191,16 +244,16 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                     fb = jnp.where(bext_ref[:, sl] == a_col,
                                    jnp.float32(match),
                                    jnp.float32(mismatch))
-                t1 = fb + _pf(mp3, mp_in)
+                t1 = fb + pf(mp3, mp_in)
                 t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
                 if bi == 0:
                     t1 = jnp.where(lane0, neg_inf, t1)
                     t3 = jnp.where(lane0, col0_3, t3)
                 m13 = jnp.maximum(t1, t3)
-                omega = jg + _pf(m13, m13_in) - gf - hf
+                omega = jg + pf(m13, m13_in) - gf - hf
                 if bi == 0:
                     omega = jnp.where(lane0, neg_inf, omega)
-                pm = jnp.maximum(_lane_pm(omega, w), pm_in)
+                pm = jnp.maximum(lpm(omega), pm_in)
                 t2 = pm - jg
                 if bi == 0:
                     t2 = jnp.where(lane0, neg_inf, t2)
@@ -210,19 +263,19 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
 
                 if want_dirs:
                     am3 = argmax3(p1, p2, p3)
-                    d1 = _pf(am3, d1_in)
+                    d1 = pf(am3, d1_in)
                     d1_in = _last(am3)
                     d3 = argmax3(p1, p2, p3 + hf)
                     d2b = argmax3(t1 - hf, t2, t3 - hf)
-                    d2 = _pf(d2b, d2_in)
+                    d2 = pf(d2b, d2_in)
                     d2_in = _last(d2b)
                     packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) \
                         | (d3 << DIR_T3_SHIFT)
                     if with_runs:
                         pr = run_state[0, :, sl]
                         pca = run_state[1, :, sl]
-                        r_prev = _pf(pr, r_in)
-                        ca_prev = _pf(pca, ca_in)
+                        r_prev = pf(pr, r_in)
+                        ca_prev = pf(pca, ca_in)
                         r_in = _last(pr)
                         ca_in = _last(pca)
                         is_run = d1 == 0
@@ -262,10 +315,10 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret", "k_steps", "want_dirs",
-                     "with_runs", "k1"))
+                     "with_runs", "k1", "perm"))
 def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
                   match, mismatch, block_b, interpret, k_steps=8,
-                  want_dirs=True, with_runs=True, k1=0):
+                  want_dirs=True, with_runs=True, k1=0, perm=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -283,13 +336,24 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
         b_ext = b_ext.astype(jnp.int32)
     if lbmask.shape[1] != nl:  # (B, 128) len_b plane (nl == 128 buckets
         # ship the real mask, so width disambiguates)
-        jj = jnp.arange(nl, dtype=jnp.int32)[None, :]
-        lbmask = (jj == lbmask[:, 0:1]).astype(jnp.int32)
+        if perm:
+            # column held at flat position p of block (s, w)
+            p = jnp.arange(nl, dtype=jnp.int32)
+            jcol = jnp.empty_like(p)
+            for (s, w) in _blocks(nl):
+                q = p[s: s + w] - s
+                tn = w // 128
+                jl = (q % 128) * tn + q // 128 if tn > 1 else q
+                jcol = jcol.at[s: s + w].set(s + jl)
+            lbmask = (jcol[None, :] == lbmask[:, 0:1]).astype(jnp.int32)
+        else:
+            jj = jnp.arange(nl, dtype=jnp.int32)[None, :]
+            lbmask = (jj == lbmask[:, 0:1]).astype(jnp.int32)
     kernel = functools.partial(
         _rowcb_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), k_steps=k_steps,
         num_rows=num_rows, want_dirs=want_dirs, with_runs=with_runs,
-        k1=k1)
+        k1=k1, perm=perm)
     dirs_shape = (num_blk * k_steps if want_dirs else k_steps, B, nl)
     bw = k1 * nl if k1 else nl  # query profile vs column codes
     return pl.pallas_call(
@@ -331,12 +395,13 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
 
 
 def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
-               block_b=DEF_BLOCK_B, carries=19):
+               block_b=DEF_BLOCK_B, carries=19, perm=False):
     """Host-side packing (rowscan_prep with the per-pair type plane).
 
     Sequences stay uint8 and the lb mask ships as a (Bp, 128) length
     plane — 4x fewer host->device bytes through the evaluation tunnel;
-    _pallas_rowcb widens and expands on device."""
+    _pallas_rowcb widens and expands on device. ``perm``: within-block
+    permuted column layout (pair with the kernel's perm=True)."""
     a_enc = np.asarray(a_enc, np.uint8)
     b_enc = np.asarray(b_enc, np.uint8)
     B, m = a_enc.shape
@@ -349,6 +414,9 @@ def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
     a_pad[:B, :m] = a_enc
     b_ext = np.full((Bp, nl), int(PAD_B), np.uint8)
     b_ext[:B, 1: n + 1] = b_enc
+    perm = bool(perm) and nl > 128
+    if perm:
+        b_ext = _perm_cols_cb(b_ext, nl)
     if nl == 128:  # width would be ambiguous with the length plane
         lbq = np.zeros((Bp, nl), np.int32)
         lbq[np.arange(B), np.asarray(len_b, np.int64)] = 1
@@ -358,12 +426,12 @@ def rowcb_prep(a_enc, b_enc, len_a, len_b, start_type=-1,
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     st = np.full((Bp, 128), int(start_type), np.int32)
-    meta = dict(m=m, n=n, nl=nl, block_b=block_b)
+    meta = dict(m=m, n=n, nl=nl, block_b=block_b, perm=perm)
     return (a_pad, b_ext, lbq, la, st), meta
 
 
 def rowcb_mat_prep(a_codes, b_codes, len_a, len_b, table, start_type=-1,
-                   block_b=DEF_BLOCK_B, carries=19):
+                   block_b=DEF_BLOCK_B, carries=19, perm=False):
     """Host packing for matrix mode: ((a_pad codes, prof, lbmask, la,
     st), meta). prof[:, k*nl + j] = table[k, b_ext[j]] (the query-
     profile pre-gather of pallas_fill._submat_kernel, with the rowcb
@@ -388,10 +456,14 @@ def rowcb_mat_prep(a_codes, b_codes, len_a, len_b, table, start_type=-1,
         table[:, b_ext].transpose(1, 0, 2).reshape(Bp, k1 * nl))
     lbmask = np.zeros((Bp, nl), np.int32)
     lbmask[np.arange(B), np.asarray(len_b, np.int64)] = 1
+    perm = bool(perm) and nl > 128
+    if perm:
+        prof = _perm_cols_cb(prof, nl, ncols=nl)  # per k1 plane
+        lbmask = _perm_cols_cb(lbmask, nl)
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     st = np.full((Bp, 128), int(start_type), np.int32)
-    meta = dict(m=m, n=n, nl=nl, block_b=block_b, k1=k1)
+    meta = dict(m=m, n=n, nl=nl, block_b=block_b, k1=k1, perm=perm)
     return (a_pad, prof, lbmask, la, st), meta
 
 

@@ -63,6 +63,46 @@ def test_rowcb_dirs_matches_rowdirs():
                                                                   st, runs)
 
 
+def test_rowcb_perm_layout_equivalence():
+    """Within-block permuted rowcb (round 5): finals identical and dirs
+    equal after per-block column unpermutation; the fused path's
+    perm_cb walk is covered by test_rowcb_fused_align_matches (the
+    production path now defaults perm=True)."""
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _default_interpret as _di,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_rowcb import (
+        _blocks,
+        _pallas_rowcb,
+        rowcb_prep,
+    )
+
+    rng = np.random.default_rng(9)
+    for (B, bm, bn) in [(3, 40, 300), (2, 50, 2200)]:
+        a, b, la, lb = _rand(rng, B, bm, bn)
+        outs = {}
+        for perm in (False, True):
+            args, meta = rowcb_prep(a, b, la, lb, -1, carries=13,
+                                    perm=perm)
+            assert meta["perm"] is perm
+            dirs, fin = _pallas_rowcb(
+                *args, g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                interpret=_di(None), want_dirs=True, with_runs=True,
+                **meta)
+            outs[perm] = (np.asarray(dirs), np.asarray(fin))
+        d0, f0 = outs[False]
+        d1, f1 = outs[True]
+        assert np.array_equal(f0, f1), (bm, bn)
+        nl = d0.shape[2]
+        dp = np.empty_like(d1)
+        for (s, w) in _blocks(nl):
+            tn = w // 128
+            q = np.arange(w)
+            j_of_q = (q % 128) * tn + q // 128 if tn > 1 else q
+            dp[:, :, s + j_of_q] = d1[:, :, s: s + w]
+        assert np.array_equal(dp[:, :B, :], d0[:, :B, :]), (bm, bn)
+
+
 def test_rowcb_fused_align_matches():
     """BatchAligner fused path (now rowcb) == wavefront on ragged
     pairs wider than one column block."""
