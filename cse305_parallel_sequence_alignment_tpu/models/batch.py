@@ -88,7 +88,7 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
         a_pad, b_ext, lbmask, la_t, st_t, m=m, n=n, nl=nl, g=g, h=h,
         match=match, mismatch=mismatch, k_steps=k_steps,
         block_b=block_b, interpret=interpret, want_dirs=True,
-        with_runs=True, k1=k1, perm=perm)
+        with_runs=True, k1=k1, perm=perm, runs2=False)
     finals = fin[:B, :3]
     # end-table choice, per-pair dynamic end type (tie order
     # T1 >= T2 >= T3, gap-open refund for forced-into-gap ends)
@@ -104,15 +104,18 @@ def _fused_fill_walk(a_pad, b_ext, lbmask, la_t, st_t, la_v, lb_v, en_v,
         finals, jnp.clip(en_v - 1, 0, 2)[:, None], axis=1)[:, 0]
     tb = jnp.where(forced, en_v, tb_free).astype(jnp.int32)
     sc = jnp.where(forced, sc_forced, sc_free)
-    # The XLA while-loop walk costs ~0.25 ms per RLE round at B = 128
-    # (~25 ms for random-DNA 2 kb paths). A Pallas scalar-walk kernel
-    # (ops/pallas_walk.py) was built and measured bit-exact on hardware
-    # but no faster (31-35 ms: per-round cost is scalar-core overhead,
-    # not DMA latency, so interleaving G chains doesn't amortize it) —
-    # it stays available as an experimental backend, XLA is default.
+    # The RLE walk measured ~7 ms at B=128 x 2 kb in round 5 (~98
+    # dependent gather rounds) — no longer the e2e ceiling; the dirs
+    # fill is. runs2 (run + first-gap-step fusion, cutting rounds to
+    # ~63) was built, verified chain-exact, and measured NET NEGATIVE:
+    # the walk saves only ~0.3 ms while the fill's 2 extra carry planes
+    # cost ~1.5-2 ms per chunk (same-process A/B, /tmp round-5 probes;
+    # see ops/pallas_rowcb.py runs2). It stays available but off. The
+    # Pallas scalar-walk kernel (ops/pallas_walk.py) is likewise slower
+    # (per-round scalar-core overhead) — XLA walk is default.
     entries, used = _walk_core_rle(dirs16, la_v, lb_v, tb,
                                    max_steps=max_steps, pair_axis=1,
-                                   perm_cb=perm)
+                                   perm_cb=perm, runs2=False)
     # capped prefix ships WITH the scores in one host transfer; the
     # full buffer stays on device for the rare used > cap overflow
     cap = min(entries.shape[0], max(256, max_steps // 16))
@@ -577,6 +580,13 @@ class BatchAligner:
                 rpad = min(rounds_cap, -(-int(used) // 256) * 256)
                 ent = jax.device_get(entries_d[:rpad])
             ent_b = ent.T[:B]
+        # runs2 fused streams leave the second slot of non-gap rounds
+        # empty: push zeros to the tail (stable) so the replays, which
+        # treat 0 as end-of-stream, see a dense prefix
+        z = ent_b == 0
+        if z[:, :-1].any():
+            order = np.argsort(z, axis=1, kind="stable")
+            ent_b = np.take_along_axis(ent_b, order, axis=1)
         from cse305_parallel_sequence_alignment_tpu.native import walker
         out = walker.replay_rle(ent_b, np.asarray(la, np.int64),
                                 np.asarray(lb, np.int64),

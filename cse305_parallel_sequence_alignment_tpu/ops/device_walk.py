@@ -122,7 +122,7 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout,
 
 
 def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
-                   perm_tn=0, perm_cb=False):
+                   perm_tn=0, perm_cb=False, runs2=False):
     """Run-length walk over the ``with_runs`` uint16 row-layout dirs
     (ops/pallas_fill.py _rowdirs_kernel): one dependent gather consumes
     a WHOLE diagonal run.
@@ -176,21 +176,34 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
         codes = word & 0xFF
         c_now = (codes >> shifts[t]) & 3
         is_run = t == 1
-        k = jnp.where(is_run, (word >> 8) & 255, 0)
+        k = jnp.where(is_run, (word >> 8) & (63 if runs2 else 255), 0)
         op = jnp.where(is_run, (word >> 6) & 3, c_now)
         di = jnp.where(is_run, k + 1, jnp.where(t == 3, 1, 0))
         dj = jnp.where(is_run, k + 1, jnp.where(t == 2, 1, 0))
         active = ~done
-        i2 = jnp.where(active, i - di, i)
-        j2 = jnp.where(active, j - dj, j)
         ent = jnp.where(active, (op + 1) | (k << 2), 0).astype(
             jnp.uint16)
         t2 = jnp.where(active, op + 1, t)
+        if runs2:
+            # runs2 dirs carry the run's landing-cell code (bits 14-15):
+            # a run round whose after-code enters a gap table consumes
+            # the first gap step too — two v1-format entries, one gather
+            c2 = (word >> 14) & 3
+            gap = is_run & (op == 1) | is_run & (op == 2)
+            di = di + jnp.where(gap & (op == 2), 1, 0)
+            dj = dj + jnp.where(gap & (op == 1), 1, 0)
+            t2 = jnp.where(active & gap, c2 + 1, t2)
+            ent2 = jnp.where(active & gap, c2 + 1, 0).astype(jnp.uint16)
+        else:
+            ent2 = None
+        i2 = jnp.where(active, i - di, i)
+        j2 = jnp.where(active, j - dj, j)
         done2 = done | (i2 <= 0) | (j2 <= 0)
-        return i2, j2, t2, done2, ent
+        return i2, j2, t2, done2, ent, ent2
 
     U = _WALK_UNROLL
     nblk = -(-max_steps // U)
+    slots = 2 if runs2 else 1
 
     def cond(state):
         _, _, _, done, _, k = state
@@ -200,20 +213,25 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
         i, j, t, done, ops, k = state
         ents = []
         for _ in range(U):
-            i, j, t, done, ent = one(i, j, t, done)
+            i, j, t, done, ent, ent2 = one(i, j, t, done)
             ents.append(ent)
+            if runs2:
+                ents.append(ent2)
         ops = jax.lax.dynamic_update_slice(
-            ops, jnp.stack(ents, axis=0), (k * U, 0))
+            ops, jnp.stack(ents, axis=0), (k * U * slots, 0))
         return i, j, t, done, ops, k + 1
 
     i0 = i0.astype(jnp.int32)
     j0 = j0.astype(jnp.int32)
     t0 = t0.astype(jnp.int32)
     done0 = (i0 == 0) | (j0 == 0)
-    ops0 = jnp.zeros((nblk * U, B), jnp.uint16)
+    ops0 = jnp.zeros((nblk * U * slots, B), jnp.uint16)
     _, _, _, _, ops, kfin = jax.lax.while_loop(
         cond, body, (i0, j0, t0, done0, ops0, jnp.int32(0)))
-    return ops, kfin * U
+    # runs2 streams have empty second slots on non-gap rounds; callers
+    # compact host-side (np stable argsort — a device sort measured as
+    # a regression) before the C++ replay, which stops at the first 0.
+    return ops, kfin * U * slots
 
 
 def expand_rle_ops(entries, max_steps):

@@ -126,7 +126,7 @@ def _last(x):
 def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                   dirs_ref, fin_ref, state, fin_acc, run_state,
                   *, m, n, nl, g, h, match, mismatch, k_steps, num_rows,
-                  want_dirs, with_runs, k1=0, perm=False):
+                  want_dirs, with_runs, k1=0, perm=False, runs2=False):
     """``k1 == 0``: match/mismatch scoring against ``bext_ref`` column
     codes. ``k1 > 0``: substitution-matrix mode — ``bext_ref`` is the
     pre-gathered query profile (block_b, k1*nl) with
@@ -192,6 +192,11 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
             if with_runs:
                 run_state[0, :, sl] = jnp.zeros((block_b, w), jnp.int32)
                 run_state[1, :, sl] = jnp.zeros((block_b, w), jnp.int32)
+                if runs2:
+                    run_state[2, :, sl] = jnp.zeros((block_b, w),
+                                                    jnp.int32)
+                    run_state[3, :, sl] = jnp.zeros((block_b, w),
+                                                    jnp.int32)
 
     def argmax3(c1, c2, c3):
         return jnp.where((c1 >= c2) & (c1 >= c3), 0,
@@ -223,6 +228,8 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
             d2_in = zeroc      # current-row d2 argmax at block edge
             r_in = zeroc       # prev-row run length at block edge
             ca_in = zeroc      # prev-row after-run code at block edge
+            c2_in = zeroc      # prev-row landing code at block edge
+            pd_in = zeroc      # prev-row packed d2|d3 at block edge
             for bi, (s, w) in enumerate(blocks):
                 sl = pl.ds(s, w)
                 jjb, jg = jg_of(s, w)
@@ -279,14 +286,35 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
                         r_in = _last(pr)
                         ca_in = _last(pca)
                         is_run = d1 == 0
-                        capped = r_prev >= 255
+                        rcap = 63 if runs2 else 255
+                        capped = r_prev >= rcap
                         r_cur = jnp.where(
-                            is_run, jnp.minimum(r_prev + 1, 255), 0)
+                            is_run, jnp.minimum(r_prev + 1, rcap), 0)
                         ca_cur = jnp.where(
                             is_run, jnp.where(capped, 0, ca_prev), d1)
                         run_state[0, :, sl] = r_cur
                         run_state[1, :, sl] = ca_cur
                         packed = packed | (ca_cur << 6) | (r_cur << 8)
+                        if runs2:
+                            # c2 = the run's LANDING-cell code for table
+                            # ca+1 (the packed d2/d3 of the previous
+                            # row's diagonal neighbor), propagated down
+                            # the run like ca — lets the walk consume
+                            # run + first gap step in ONE gather round
+                            pc2 = run_state[2, :, sl]
+                            pd23 = run_state[3, :, sl]
+                            c2_prev = pf(pc2, c2_in)
+                            d23_sh = pf(pd23, pd_in)
+                            c2_in = _last(pc2)
+                            pd_in = _last(pd23)
+                            c2_new = jnp.where(d1 == 1, d23_sh & 3,
+                                               (d23_sh >> 2) & 3)
+                            c2_cur = jnp.where(
+                                is_run,
+                                jnp.where(capped, 0, c2_prev), c2_new)
+                            run_state[2, :, sl] = c2_cur
+                            run_state[3, :, sl] = d2 | (d3 << 2)
+                            packed = packed | (c2_cur << 14)
                     dirs_ref[u, :, sl] = packed.astype(out_dtype)
 
                 cap = (la_col == i) & (lbmask_ref[:, sl] != 0)
@@ -315,10 +343,11 @@ def _rowcb_kernel(a_ref, bext_ref, lbmask_ref, la_ref, st_ref,
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
                      "block_b", "interpret", "k_steps", "want_dirs",
-                     "with_runs", "k1", "perm"))
+                     "with_runs", "k1", "perm", "runs2"))
 def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
                   match, mismatch, block_b, interpret, k_steps=8,
-                  want_dirs=True, with_runs=True, k1=0, perm=False):
+                  want_dirs=True, with_runs=True, k1=0, perm=False,
+                  runs2=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -353,7 +382,7 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
         _rowcb_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), k_steps=k_steps,
         num_rows=num_rows, want_dirs=want_dirs, with_runs=with_runs,
-        k1=k1, perm=perm)
+        k1=k1, perm=perm, runs2=runs2)
     dirs_shape = (num_blk * k_steps if want_dirs else k_steps, B, nl)
     bw = k1 * nl if k1 else nl  # query profile vs column codes
     return pl.pallas_call(
@@ -388,7 +417,7 @@ def _pallas_rowcb(a_pad, b_ext, lbmask, la, st, *, m, n, nl, g, h,
         scratch_shapes=[
             pltpu.VMEM((3, block_b, nl), jnp.float32),
             pltpu.VMEM((3, block_b, nl), jnp.float32),
-            pltpu.VMEM((2, block_b, nl), jnp.int32),
+            pltpu.VMEM((4 if runs2 else 2, block_b, nl), jnp.int32),
         ],
         interpret=interpret,
     )(a_pad, b_ext, lbmask, la, st)

@@ -103,6 +103,57 @@ def test_rowcb_perm_layout_equivalence():
         assert np.array_equal(dp[:, :B, :], d0[:, :B, :]), (bm, bn)
 
 
+def test_rowcb_runs2_walk_equivalence():
+    """runs2 dirs (run + first-gap-step fusion, round 5): the fused
+    walk's replayed chains are identical to the runs1 walk's."""
+    import jax
+    import jax.numpy as jnp
+
+    from cse305_parallel_sequence_alignment_tpu.models.batch import (
+        _end_choice_vec,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.device_walk import (
+        _walk_core_rle,
+        expand_rle_ops,
+        replay_ops,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _default_interpret as _di,
+    )
+    from cse305_parallel_sequence_alignment_tpu.ops.pallas_rowcb import (
+        _pallas_rowcb,
+        rowcb_prep,
+    )
+
+    rng = np.random.default_rng(11)
+    for (B, bm, bn) in [(4, 70, 90), (2, 120, 1200)]:
+        a, b, la, lb = _rand(rng, B, bm, bn)
+        args, meta = rowcb_prep(a, b, la, lb, -1, carries=13, perm=True)
+        kw = dict(g=1.0, h=2.0, match=1.0, mismatch=0.0,
+                  interpret=_di(None), want_dirs=True, with_runs=True)
+        outs = {}
+        for r2 in (False, True):
+            dirs, fin = _pallas_rowcb(*args, runs2=r2, **kw, **meta)
+            outs[r2] = (dirs, np.asarray(fin))
+        assert np.array_equal(outs[False][1], outs[True][1])
+        tables, _ = _end_choice_vec(outs[False][1][:B, :3], -1, 2.0)
+        ms = int(la.max() + lb.max()) + 1
+        streams = {}
+        for r2 in (False, True):
+            ent, used = jax.jit(lambda d, i, j, t, r2=r2: _walk_core_rle(
+                d, i, j, t, max_steps=ms, perm_cb=True, runs2=r2))(
+                outs[r2][0], jnp.asarray(la), jnp.asarray(lb),
+                jnp.asarray(tables))
+            ops = expand_rle_ops(np.asarray(ent).T, ms)
+            if ops.shape[1] < ms:
+                ops = np.pad(ops, ((0, 0), (0, ms - ops.shape[1])))
+            streams[r2] = replay_ops(ops, la.astype(np.int64),
+                                     lb.astype(np.int64),
+                                     tables.astype(np.int64))
+        for x, y in zip(streams[False], streams[True]):
+            assert np.array_equal(x, y), (bm, bn)
+
+
 def test_rowcb_fused_align_matches():
     """BatchAligner fused path (now rowcb) == wavefront on ragged
     pairs wider than one column block."""
