@@ -93,11 +93,16 @@ class BandedAligner:
             from cse305_parallel_sequence_alignment_tpu.ops. \
                 pallas_banded import pallas_banded_dirs_batch
             try:
+                # with_runs: uint16 band dirs — the RLE walk consumes a
+                # whole diagonal run per dependent gather (round 5;
+                # diagonal runs keep their band lane, so runs need no
+                # lane shift in this layout)
                 finals, dirs_dev = pallas_banded_dirs_batch(
                     a_enc[None, :], b_enc[None, :], np.array([m]),
                     np.array([n]), self.w_lo, self.w_hi, g=g, h=h,
                     match=match, mismatch=mismatch,
-                    start_type=self.start_type, device_dirs=True)
+                    start_type=self.start_type, device_dirs=True,
+                    with_runs=True)
                 table, score = end_table_choice(
                     float(finals[0, 0]), float(finals[0, 1]),
                     float(finals[0, 2]), self.end_type, self.params.h)

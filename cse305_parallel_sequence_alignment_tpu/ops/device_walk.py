@@ -122,7 +122,8 @@ def _walk_core(dirs, i0, j0, t0, *, max_steps, pair_axis, layout,
 
 
 def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
-                   perm_tn=0, perm_cb=False, runs2=False):
+                   perm_tn=0, perm_cb=False, runs2=False,
+                   layout="row"):
     """Run-length walk over the ``with_runs`` uint16 row-layout dirs
     (ops/pallas_fill.py _rowdirs_kernel): one dependent gather consumes
     a WHOLE diagonal run.
@@ -157,7 +158,10 @@ def _walk_core_rle(dirs16, i0, j0, t0, *, max_steps, pair_axis=1,
         # overshot pairs are done; clamp their (frozen) coords anyway so
         # gathers never index out of range
         r = jnp.clip(i, 0, nrows - 1)
-        c = jnp.clip(j, 0, ncols - 1)
+        if layout == "row":
+            c = jnp.clip(j, 0, ncols - 1)
+        else:  # ("band", w_lo): dirs16[i, b, j - i + w_lo]
+            c = jnp.clip(j - i + layout[1], 0, ncols - 1)
         if perm_tn:
             # permuted-lane fills: column j lives at flat position
             # (j % Tn) * 128 + j // Tn (pallas_fill._perm_maps)
@@ -280,13 +284,16 @@ def _run_walk(dirs_dev, i0, j0, t0, pair_axis=1, layout="skew",
     j0 = np.asarray(j0, np.int64)
     t0 = np.asarray(t0, np.int64)
     max_steps = int(i0.max(initial=0) + j0.max(initial=0)) + 1
-    if dirs_dev.dtype == jnp.uint16 and layout == "row":
+    if dirs_dev.dtype == jnp.uint16 and (
+            layout == "row" or
+            (isinstance(layout, tuple) and layout[0] == "band")):
         # run-length dirs (with_runs kernels): whole diagonal runs per
-        # dependent gather round (~0.25 ms each at B=128), expanded
-        # host-side to the identical per-step op stream
+        # dependent gather round, expanded host-side to the identical
+        # per-step op stream; band layout keeps the lane fixed along a
+        # diagonal run so the same round structure applies
         walk = jax.jit(functools.partial(
             _walk_core_rle, max_steps=max_steps, pair_axis=pair_axis,
-            perm_tn=perm_tn))
+            perm_tn=perm_tn, layout=layout))
         ent, _ = walk(dirs_dev, jnp.asarray(i0, jnp.int32),
                       jnp.asarray(j0, jnp.int32),
                       jnp.asarray(t0, jnp.int32))

@@ -160,8 +160,9 @@ def _pallas_banded(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl, g, h,
 
 def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
                         dirs_ref, out_ref, state, fin_acc, bv_state,
+                        run_state,
                         *, m, n, w_lo, W, Wl, g, h, match, mismatch,
-                        start_type, k_steps, num_rows):
+                        start_type, k_steps, num_rows, with_runs=False):
     """Banded fill emitting band-layout packed directions.
 
     dirs[i, b, l] = packed byte of cell (i, j = i - w_lo + l) — the
@@ -218,6 +219,8 @@ def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
         bv_state[...] = bv0_ref[...]
         f = capture([_neg((block_b, 1))] * 3, (r1, r2, r3), 0)
         fin_acc[0], fin_acc[1], fin_acc[2] = f
+        if with_runs:
+            run_state[...] = jnp.zeros((2, block_b, Wl), jnp.int32)
 
     def argmax3(c1, c2, c3):
         return jnp.where((c1 >= c2) & (c1 >= c3), 0,
@@ -229,7 +232,7 @@ def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
         @pl.when((i == 0) | (i >= num_rows))
         def _(u=u):
             dirs_ref[u] = jnp.zeros((block_b, Wl), jnp.int32).astype(
-                jnp.uint8)
+                jnp.uint16 if with_runs else jnp.uint8)
 
         @pl.when((i > 0) & (i < num_rows))
         def _(i=i, u=u):
@@ -273,7 +276,23 @@ def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
             # lb/la are in-band at the padded (m, n) but unreachable)
             inpair = inband & (j_lane <= lb_col) & (i <= la_col)
             packed = jnp.where(inpair, packed, 0)
-            dirs_ref[u] = packed.astype(jnp.uint8)
+            if with_runs:
+                # diagonal runs keep the SAME band lane (the window
+                # slides with the diagonal): run state needs no shift
+                r_prev = run_state[0]
+                ca_prev = run_state[1]
+                is_run = d1 == 0
+                capped = r_prev >= 255
+                r_cur = jnp.where(is_run,
+                                  jnp.minimum(r_prev + 1, 255), 0)
+                ca_cur = jnp.where(is_run,
+                                   jnp.where(capped, 0, ca_prev), d1)
+                run_state[0] = jnp.where(inpair, r_cur, 0)
+                run_state[1] = jnp.where(inpair, ca_cur, 0)
+                packed = packed | jnp.where(
+                    inpair, (ca_cur << 6) | (r_cur << 8), 0)
+            dirs_ref[u] = packed.astype(
+                jnp.uint16 if with_runs else jnp.uint8)
 
             f = capture([fin_acc[0], fin_acc[1], fin_acc[2]],
                         (t1, t2, t3), i)
@@ -290,10 +309,10 @@ def _banded_dirs_kernel(a_ref, bext_ref, bv0_ref, la_ref, lb_ref,
     jax.jit,
     static_argnames=("m", "n", "w_lo", "W", "Wl", "g", "h", "match",
                      "mismatch", "start_type", "block_b", "interpret",
-                     "k_steps"))
+                     "k_steps", "with_runs"))
 def _pallas_banded_dirs(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl,
                         g, h, match, mismatch, start_type, block_b,
-                        interpret, k_steps=32):
+                        interpret, k_steps=32, with_runs=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -301,7 +320,8 @@ def _pallas_banded_dirs(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl,
     kernel = functools.partial(
         _banded_dirs_kernel, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl, g=float(g),
         h=float(h), match=float(match), mismatch=float(mismatch),
-        start_type=start_type, k_steps=k_steps, num_rows=num_rows)
+        start_type=start_type, k_steps=k_steps, num_rows=num_rows,
+        with_runs=with_runs)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -324,13 +344,15 @@ def _pallas_banded_dirs(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_blk * k_steps, B, Wl), jnp.uint8),
+            jax.ShapeDtypeStruct((num_blk * k_steps, B, Wl),
+                                 jnp.uint16 if with_runs else jnp.uint8),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_b, 3 * Wl), jnp.float32),
             pltpu.VMEM((3, block_b, 1), jnp.float32),
             pltpu.VMEM((block_b, Wl), jnp.int32),
+            pltpu.VMEM((2 if with_runs else 1, block_b, Wl), jnp.int32),
         ],
         interpret=interpret,
     )(a_pad, b_ext, bv0, la, lb)
@@ -339,7 +361,8 @@ def _pallas_banded_dirs(a_pad, b_ext, bv0, la, lb, *, m, n, w_lo, W, Wl,
 def pallas_banded_dirs_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
                              g=1.0, h=2.0, match=1.0, mismatch=0.0,
                              start_type=-1, block_b=DEF_BLOCK_B,
-                             device_dirs=False, interpret=None):
+                             device_dirs=False, interpret=None,
+                             with_runs=False):
     """Batched banded fill emitting band-layout packed directions.
 
     Returns (finals (B, 3), dirs (>=m+1, B, Wl) uint8) with
@@ -364,6 +387,7 @@ def pallas_banded_dirs_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     bw = n + 1 + 2 * Wl + 2
     block_b = _fit_block_b(max(block_b, 128),
                            2 * (ma + bw + Wl + 256) + 14 * Wl)
+    block_b = min(block_b, max(64, -(-B // 64) * 64))
     Bp = -(-B // block_b) * block_b
 
     a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
@@ -381,7 +405,8 @@ def pallas_banded_dirs_batch(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     dirs, out = _pallas_banded_dirs(
         a_pad, b_ext, bv0, la_t, lb_t, m=m, n=n, w_lo=w_lo, W=W, Wl=Wl,
         g=g, h=h, match=match, mismatch=mismatch, start_type=start_type,
-        block_b=block_b, interpret=_default_interpret(interpret))
+        block_b=block_b, interpret=_default_interpret(interpret),
+        with_runs=with_runs)
     if device_dirs:
         return np.asarray(out)[:B, :3], dirs
     return np.asarray(out)[:B, :3], np.asarray(dirs)[:, :B, :]
@@ -412,6 +437,10 @@ def banded_prep(a_enc, b_enc, len_a, len_b, w_lo, w_hi,
     bw = n + 1 + 2 * Wl + 2
     block_b = _fit_block_b(max(block_b, 256),
                            2 * (ma + bw + Wl + 256) + 9 * Wl)
+    # a half-empty batch block halves the effective rate (measured:
+    # B=64 in a 128-block ran 4.1 vs 11.9 GCUPS-band at B=256): never
+    # fit a block wider than the padded batch
+    block_b = min(block_b, max(64, -(-B // 64) * 64))
     Bp = -(-B // block_b) * block_b
 
     a_pad = np.full((Bp, ma), int(PAD_A), np.int32)
