@@ -136,3 +136,21 @@ def test_live_parity_14kb():
     assert len(short) <= len(other)
     ok, mismatches = run_parity([(short, other)], driver=driver, p=1)
     assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
+
+
+@pytest.mark.slow
+def test_live_parity_22kb():
+    """Byte parity at 20 x 22 kb (VERDICT r4 item 10: extend past
+    14 kb). The -O2 reference at p=1 allocates 3 double tables
+    (~10.6 GB here — the 125 GB VM takes it); its serial fill is the
+    cost (several minutes), so the case runs in the full suite only."""
+    from cse305_parallel_sequence_alignment_tpu.utils.fasta import (
+        read_and_store_sequences,
+    )
+    _, seqs = read_and_store_sequences(
+        "/root/reference/gene_sequences_test")
+    order = sorted(range(len(seqs)), key=lambda k: len(seqs[k]))
+    a = seqs[order[-2]][:20000]
+    b = seqs[order[-1]][:22000]
+    ok, mismatches = run_parity([(a, b)], driver=driver, p=1)
+    assert ok, [(m["a"][:40], m["b"][:40]) for m in mismatches]
