@@ -101,6 +101,20 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
                        lambda o: np.asarray(o))
         score_gcups = cells / dt / 1e9
         results = {"rowscan_kernel": score_gcups}
+        if not headline_only:
+            # lottery-immune evidence: the SAME claim also times the
+            # round-4 linear layout; the ratio survives whatever chip
+            # state the absolute number landed on
+            try:
+                args_l, meta_l = rowscan_prep(a, b, la, lb, perm=False)
+                dev_l = [jnp.asarray(x) for x in args_l]
+                kw_l = dict(kw)
+                kw_l.update(meta_l)
+                dt_l = pipelined(lambda: _pallas_rowscan(*dev_l, **kw_l),
+                                 lambda o: np.asarray(o))
+                extras["perm_speedup_inprocess"] = round(dt_l / dt, 2)
+            except Exception as e:  # noqa: BLE001
+                extras["perm_ab_error"] = f"{type(e).__name__}"[:60]
         # the round-4 ablations refuted the op-count MFU model (VERDICT
         # r4 weak 2); report achieved fraction of the surviving
         # measured-row-time model instead (harness/perfreport.roofline)
