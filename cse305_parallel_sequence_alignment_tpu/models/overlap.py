@@ -172,9 +172,10 @@ class OverlapBatchAligner:
                             ops.pallas_overlap import (
                                 pallas_overlap_dirs_batch,
                             )
+                        # perm=True: permuted lane layout (round 5)
                         out, dirs = pallas_overlap_dirs_batch(
                             a, b, la, lb, device_dirs=True,
-                            with_runs=True, **self._kw())
+                            with_runs=True, perm=True, **self._kw())
                         layout = "row"
                     except Exception:  # noqa: BLE001
                         out = dirs = None
@@ -188,12 +189,15 @@ class OverlapBatchAligner:
                     # on-device walk (slow device->host link)
                     from cse305_parallel_sequence_alignment_tpu.ops. \
                         device_walk import walk_overlap_batch_device
+                    ptn = (dirs.shape[2] // 128
+                           if layout == "row" and dirs.shape[2] > 128
+                           else 0)
                     chains = walk_overlap_batch_device(
                         dirs, out[:, 1].astype(np.int64),
                         out[:, 2].astype(np.int64),
                         out[:, 3].astype(np.int64),
                         pair_axis=0 if layout == "skew" else 1,
-                        layout=layout)
+                        layout=layout, perm_tn=ptn)
                 else:
                     dirs = np.asarray(dirs)
                     chains = [traceback_overlap_from_dirs(

@@ -178,9 +178,11 @@ class SemiGlobalBatchAligner:
                             pallas_semiglobal_dirs_batch,
                         )
                     try:
+                        # perm=True: permuted lane layout (round 5);
+                        # the walk maps columns via perm_tn
                         out, dirs = pallas_semiglobal_dirs_batch(
                             a, b, la, lb, device_dirs=True,
-                            with_runs=True, **self._kw())
+                            with_runs=True, perm=True, **self._kw())
                         pair_axis, layout = 1, "row"
                     except Exception as e:  # noqa: BLE001
                         _pallas_fallback_warn("semiglobal_dirs", e)
@@ -195,11 +197,14 @@ class SemiGlobalBatchAligner:
                     # (slow device->host link, see ops/device_walk.py)
                     from cse305_parallel_sequence_alignment_tpu.ops. \
                         device_walk import walk_semiglobal_batch_device
+                    ptn = (dirs.shape[2] // 128
+                           if layout == "row" and dirs.shape[2] > 128
+                           else 0)
                     chains = walk_semiglobal_batch_device(
                         dirs, out[:, 1].astype(np.int64),
                         out[:, 2].astype(np.int64),
                         out[:, 3].astype(np.int64), pair_axis=pair_axis,
-                        layout=layout)
+                        layout=layout, perm_tn=ptn)
                 else:
                     dirs = np.asarray(dirs)
                     chains = [traceback_semiglobal_from_dirs(

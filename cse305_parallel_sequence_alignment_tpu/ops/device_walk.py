@@ -479,11 +479,12 @@ def walk_local_batch_device(dirs_dev, end_i, end_j, pair_axis=1):
 
 
 def walk_semiglobal_batch_device(dirs_dev, end_t, end_i, end_j,
-                                 pair_axis=0, layout="skew"):
+                                 pair_axis=0, layout="skew",
+                                 perm_tn=0):
     """Semi-global chains (traceback_semiglobal_from_dirs semantics)."""
     ops, end_i, end_j, end_t = _run_walk(dirs_dev, end_i, end_j, end_t,
                                          pair_axis=pair_axis,
-                                         layout=layout)
+                                         layout=layout, perm_tn=perm_tn)
     chains = []
     for r in range(len(end_i)):
         rev = []
@@ -510,11 +511,11 @@ def walk_semiglobal_batch_device(dirs_dev, end_t, end_i, end_j,
 
 
 def walk_overlap_batch_device(dirs_dev, end_t, end_i, end_j,
-                              pair_axis=0, layout="skew"):
+                              pair_axis=0, layout="skew", perm_tn=0):
     """Overlap-mode chains (traceback_overlap_from_dirs semantics)."""
     ops, end_i, end_j, end_t = _run_walk(dirs_dev, end_i, end_j, end_t,
                                          pair_axis=pair_axis,
-                                         layout=layout)
+                                         layout=layout, perm_tn=perm_tn)
     chains = []
     for r in range(len(end_i)):
         rev = []

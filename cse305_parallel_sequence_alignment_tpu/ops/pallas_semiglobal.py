@@ -195,7 +195,7 @@ def pallas_semiglobal_score_batch(a_enc, b_enc, len_a, len_b, g=1.0,
 def _sg_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
                        out_ref, state, fin_acc, run_state,
                        *, m, n, nl, g, h, match, mismatch, k_steps,
-                       num_rows, with_runs=False):
+                       num_rows, with_runs=False, perm=False):
     """Row-sweep semi-global fill emitting ROW-layout packed directions.
 
     The global row-dirs kernel (ops/pallas_fill.py _rowdirs_kernel) with
@@ -206,12 +206,26 @@ def _sg_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
     and host traceback_semiglobal_from_dirs consume them unchanged
     (layout="row")."""
     from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill import (
+        _jj_perm,
         _lane_prefix_max,
+        _lane_prefix_max_perm,
+        _shift_right_perm,
         _shift_right_zero_i,
     )
     block_b = bext_ref.shape[0]
     dblk = pl.program_id(1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+    if perm:  # permuted lane layout (pallas_fill round 5, 1.6-1.9x)
+        jj = _jj_perm(block_b, nl)
+        shift_neg = lambda x: _shift_right_perm(  # noqa: E731
+            x, nl, jnp.float32(NEG_INF))
+        shift_zero_i = lambda x: _shift_right_perm(  # noqa: E731
+            x, nl, jnp.int32(0))
+        lane_pm = lambda x, _nl: _lane_prefix_max_perm(x, nl)  # noqa: E731
+    else:
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block_b, nl), 1)
+        shift_neg = _shift_right_neg
+        shift_zero_i = _shift_right_zero_i
+        lane_pm = _lane_prefix_max
     b_ext = bext_ref[...]
     la_col = la_ref[:, 0:1]
     lb_col = lb_ref[:, 0:1]
@@ -253,24 +267,24 @@ def _sg_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
             fb = jnp.where(b_ext == a_col, jnp.float32(match),
                            jnp.float32(mismatch))
             mp12 = jnp.maximum(p1, p2)
-            t1 = fb + _shift_right_neg(jnp.maximum(mp12, p3))
+            t1 = fb + shift_neg(jnp.maximum(mp12, p3))
             t3 = jnp.maximum(mp12 - gf - hf, p3 - gf)
             t3 = jnp.where(jj == 0, -hf - gf * i, t3)
-            m13 = _shift_right_neg(jnp.maximum(t1, t3))
-            pm = _lane_prefix_max(jgc + m13, nl)
+            m13 = shift_neg(jnp.maximum(t1, t3))
+            pm = lane_pm(jgc + m13, nl)
             t2 = pm - jg
 
-            d1 = _shift_right_zero_i(argmax3(p1, p2, p3))
+            d1 = shift_zero_i(argmax3(p1, p2, p3))
             d3 = argmax3(p1, p2, p3 + hf)
-            d2 = _shift_right_zero_i(argmax3(t1 - hf, t2, t3 - hf))
+            d2 = shift_zero_i(argmax3(t1 - hf, t2, t3 - hf))
             packed = (d1 << DIR_T1_SHIFT) | (d2 << DIR_T2_SHIFT) | \
                 (d3 << DIR_T3_SHIFT)
             if with_runs:
                 # diagonal run lengths (ops/pallas_fill.py rowdirs
                 # encoding: ca at bits 6-7, 8-bit run at 8-15) so the
                 # device walk consumes a whole run per gather round
-                r_prev = _shift_right_zero_i(run_state[0])
-                ca_prev = _shift_right_zero_i(run_state[1])
+                r_prev = shift_zero_i(run_state[0])
+                ca_prev = shift_zero_i(run_state[1])
                 is_run = d1 == 0
                 capped = r_prev >= 255
                 r_cur = jnp.where(is_run,
@@ -309,10 +323,11 @@ def _sg_rowdirs_kernel(a_ref, bext_ref, la_ref, lb_ref, dirs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "n", "nl", "g", "h", "match", "mismatch",
-                     "block_b", "interpret", "k_steps", "with_runs"))
+                     "block_b", "interpret", "k_steps", "with_runs",
+                     "perm"))
 def _pallas_sg_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
                        mismatch, block_b, interpret, k_steps=8,
-                       with_runs=False):
+                       with_runs=False, perm=False):
     B = a_pad.shape[0]
     num_rows = m + 1
     num_blk = -(-num_rows // k_steps)
@@ -320,7 +335,7 @@ def _pallas_sg_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
     kernel = functools.partial(
         _sg_rowdirs_kernel, m=m, n=n, nl=nl, g=float(g), h=float(h),
         match=float(match), mismatch=float(mismatch), k_steps=k_steps,
-        num_rows=num_rows, with_runs=with_runs)
+        num_rows=num_rows, with_runs=with_runs, perm=perm)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -357,7 +372,8 @@ def _pallas_sg_rowdirs(a_pad, b_ext, la, lb, *, m, n, nl, g, h, match,
 def pallas_semiglobal_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0,
                                  h=2.0, match=1.0, mismatch=-1.0,
                                  block_b=DEF_BLOCK_B, device_dirs=False,
-                                 with_runs=False, interpret=None):
+                                 with_runs=False, interpret=None,
+                                 perm=False):
     """Batched semi-global fill emitting ROW-layout packed directions.
 
     Returns (out (B, 4) [score, end_table, end_i, end_j],
@@ -378,6 +394,12 @@ def pallas_semiglobal_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0,
     a_pad[:B, :m] = a_enc
     b_ext = np.full((Bp, nl), int(PAD_B), np.int32)
     b_ext[:B, 1: n + 1] = b_enc
+    perm = bool(perm) and nl > 128
+    if perm:
+        from cse305_parallel_sequence_alignment_tpu.ops.pallas_fill \
+            import _perm_maps
+        j_of_p, _ = _perm_maps(nl)
+        b_ext = np.ascontiguousarray(b_ext[:, j_of_p])
     la = np.full((Bp, 128), -1, np.int32)
     la[:B] = np.asarray(len_a, np.int32)[:, None]
     lb = np.full((Bp, 128), -1, np.int32)
@@ -385,7 +407,7 @@ def pallas_semiglobal_dirs_batch(a_enc, b_enc, len_a, len_b, g=1.0,
     dirs, out = _pallas_sg_rowdirs(
         a_pad, b_ext, la, lb, m=m, n=n, nl=nl, g=g, h=h, match=match,
         mismatch=mismatch, block_b=block_b, with_runs=with_runs,
-        interpret=_default_interpret(interpret))
+        perm=perm, interpret=_default_interpret(interpret))
     if device_dirs:
         return np.asarray(out)[:B, :4], dirs
     return np.asarray(out)[:B, :4], np.asarray(dirs)[:, :B, :]

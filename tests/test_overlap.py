@@ -111,6 +111,8 @@ def test_ov_pallas_align_matches_wavefront_path():
                   + rand_seq(rng, 25)))
     pairs.append(("ACGTTGCAAC" + rand_seq(rng, 20), rand_seq(rng, 33)
                   + "ACGTTGCAAC"))
+    # >127 columns: the round-5 permuted lane layout engages (nl > 128)
+    pairs.append((rand_seq(rng, 70), rand_seq(rng, 280)))
     got = OverlapBatchAligner(backend="pallas").align_batch(pairs)
     want = OverlapBatchAligner(backend="wavefront").align_batch(pairs)
     for g_, w_ in zip(got, want):

@@ -105,10 +105,13 @@ def test_sg_chain_rescored():
 def test_sg_rowdirs_align_matches_wavefront_path():
     """backend="pallas" (interpret on CPU) routes align_batch through the
     fused row-dirs kernel + device walk; chains/scores/CIGARs must equal
-    the XLA wavefront + host-walk path exactly."""
+    the XLA wavefront + host-walk path exactly. Pairs past 127 columns
+    exercise the round-5 permuted lane layout (nl > 128)."""
     rng = np.random.default_rng(71)
     pairs = [(rand_seq(rng, int(rng.integers(5, 30))),
-              rand_seq(rng, int(rng.integers(10, 60)))) for _ in range(7)]
+              rand_seq(rng, int(rng.integers(10, 60)))) for _ in range(5)]
+    pairs += [(rand_seq(rng, 60), rand_seq(rng, 300)),
+              (rand_seq(rng, 90), rand_seq(rng, 260))]
     got = SemiGlobalBatchAligner(params=PARAMS,
                                  backend="pallas").align_batch(pairs)
     want = SemiGlobalBatchAligner(params=PARAMS,
