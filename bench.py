@@ -101,6 +101,37 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
                        lambda o: np.asarray(o))
         score_gcups = cells / dt / 1e9
         results = {"rowscan_kernel": score_gcups}
+        # tunnel-free device time by ITERATION SCALING (K serial fills
+        # inside ONE dispatch; the proxy's per-dispatch floor — which
+        # grows when the tunnel is contended and caps the pipelined
+        # number at ~cells/floor — cancels in the K2-K1 difference)
+        try:
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnames=("K",))
+            def _iterated(a0, b0, c0, d0, *, K):
+                def body(c, _):
+                    a_k = a0.at[0, 0].set(
+                        a0[0, 0] + (c[0, 0] * 0).astype(a0.dtype))
+                    o = _pallas_rowscan(a_k, b0, c0, d0, **kw)
+                    return o[:1, :1], ()
+                out, _ = jax.lax.scan(
+                    body, jnp.zeros((1, 1), jnp.float32), None,
+                    length=K)
+                return out
+
+            ts = {}
+            for K in (1, 5):
+                np.asarray(_iterated(*dev, K=K))
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    o = _iterated(*dev, K=K)
+                np.asarray(o)
+                ts[K] = (time.perf_counter() - t0) / 3
+            dt_dev = max((ts[5] - ts[1]) / 4, 1e-9)
+            extras["value_device_time"] = round(cells / dt_dev / 1e9, 3)
+        except Exception as e:  # noqa: BLE001
+            extras["device_time_error"] = f"{type(e).__name__}"[:60]
         if not headline_only:
             # lottery-immune evidence: the SAME claim also times the
             # round-4 linear layout; the ratio survives whatever chip
@@ -265,7 +296,8 @@ def main():
                     env={"BENCH_HEADLINE_ONLY": "1"})
                 runs.append(g2)
                 if g2 > gcups:  # keep the faster claim's derived extras
-                    for k in ("pct_of_latency_model", "dirs_gcups"):
+                    for k in ("pct_of_latency_model", "dirs_gcups",
+                              "value_device_time"):
                         if k in e2:
                             extras[k] = e2[k]
                     backend = b2

@@ -37,14 +37,18 @@ from cse305_parallel_sequence_alignment_tpu.utils.observability import gcups
 # not a per-row latency floor. The permuted lane layout (column j at
 # flat position (j%Tn)*128 + j//Tn; ops/pallas_fill.py _perm_maps)
 # removes every unaligned wide op and measured 59-65 GCUPS vs 33-38
-# same-process (1.7-1.9x) — cell-exact. The model below prices a
-# (batch_block, nl) row at ROW_US_PER_BLOCKROW (measured 2.05-2.15 us
-# for the perm kernel at nl 2176, block 64 on fast claims); the
-# remaining gap to the 4-ALU issue peak is ~2.5x (dependent-chain
-# scheduling), and the chip lottery still spans ~2x run to run.
+# same-process (1.7-1.9x) — cell-exact. A second round-5 discovery:
+# even those numbers were TUNNEL-synced; by iteration scaling (K
+# serial fills in one dispatch, difference two K's) the kernel's
+# DEVICE rate is ~99-100.5 GCUPS at 2 kb x 256, stable across claims
+# while dispatch-synced values wander 20-65 with tunnel contention.
+# The model below prices a (batch_block, nl) row at the device-time
+# ROW_US_PER_BLOCKROW (~1.31 us at nl 2176, block 64 — ~2.5-4
+# vregs/cycle against the 4-ALU VPU's 4/cycle issue peak, depending
+# on the assumed clock).
 # ---------------------------------------------------------------------------
 ROWSCAN_PASSES_PER_ROW = 40        # perm kernel: wide + narrow passes
-PERM_ROW_US_PER_BLOCKROW = 2.1e-6  # measured, nl 2176 / block_b 64
+PERM_ROW_US_PER_BLOCKROW = 1.31e-6  # device time, nl 2176 / block 64
 VPU_ALU_PEAK = 8 * 128 * 4 * 1.5e9
 VPU_ISSUE_PEAK_LO = 8 * 128 * 0.94e9
 VPU_ISSUE_PEAK_HI = 8 * 128 * 1.5e9
