@@ -185,6 +185,34 @@ def _bench(batch=256, m=2048, n=2048, iters=6):
                                       with_runs=True, **ckw),
                 lambda o: np.asarray(o[1][:1, :1]))
             extras["dirs_gcups"] = round(cells / dt_d / 1e9, 3)
+            # tunnel-free device time (same iteration-scaling method
+            # as value_device_time)
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnames=("K",))
+            def _it_dirs(a0, b0, c0, d0, e0, *, K):
+                def body(c, _):
+                    a_k = a0.at[0, 0].set(
+                        a0[0, 0] + (c[0, 0] * 0).astype(a0.dtype))
+                    _, fin = _pallas_rowcb(
+                        a_k, b0, c0, d0, e0, want_dirs=True,
+                        with_runs=True, **ckw)
+                    return fin[:1, :1], ()
+                out, _ = jax.lax.scan(
+                    body, jnp.zeros((1, 1), jnp.float32), None,
+                    length=K)
+                return out
+
+            ts = {}
+            for K in (1, 4):
+                np.asarray(_it_dirs(*dev_cb, K=K))
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    o = _it_dirs(*dev_cb, K=K)
+                np.asarray(o)
+                ts[K] = (time.perf_counter() - t0) / 3
+            dt_dd = max((ts[4] - ts[1]) / 3, 1e-9)
+            extras["dirs_device_time"] = round(cells / dt_dd / 1e9, 3)
         except Exception as e:  # noqa: BLE001
             extras["dirs_error"] = f"{type(e).__name__}: {e}"[:160]
         if headline_only:
