@@ -1,13 +1,16 @@
 """Pallas TPU traceback walk: interleaved per-pair scalar walks with
 tile DMAs.
 
-Why: the XLA while-loop walk (ops/device_walk.py _walk_core_rle) costs
-~0.24 ms PER RLE ROUND at batch 128 on the v5e — the B-element gather
-from the HBM-resident dirs array lowers to mostly-serial small DMAs —
-so a ~98-round walk (random-DNA 2 kb pairs average ~21-step diagonal
-runs) costs ~23 ms, comparable to the whole fill
-(scripts/probes/walk_isolate_r4.py; unroll 1..32 and a flat-1D take
-variant all measure the same). Here the walk runs as a Pallas kernel:
+Why (round-4 framing; round 5 re-measured the XLA walk at ~7 ms per
+128 x 2 kb chunk and ~5 ms device-time, so it is no longer the e2e
+ceiling — this kernel stays as the documented experimental
+alternative): the XLA while-loop walk (ops/device_walk.py
+_walk_core_rle) was measured at ~0.24 ms PER RLE ROUND at batch 128 —
+the B-element gather from the HBM-resident dirs array lowers to
+mostly-serial small DMAs — so a ~98-round walk (random-DNA 2 kb pairs
+average ~21-step diagonal runs) cost ~23 ms in round 4
+(scripts/probes/walk_isolate_r4.py; much of that was the evaluation
+tunnel's per-dispatch overhead). Here the walk runs as a Pallas kernel:
 the grid covers groups of G pairs, each grid step walks its G pairs
 INTERLEAVED — G dependent DMA chains in flight, so the ~1-3 us HBM
 round-trip per RLE round amortizes G-fold. Semantics are copied from
